@@ -1,0 +1,61 @@
+"""Segmentation losses.
+
+Behavioral contract:
+  * ``weighted_cross_entropy`` == the reference CE path
+    (reference mmseg/models/losses/cross_entropy_loss.py:11-34 +
+    mmseg/models/losses/utils.py weight_reduce_loss): per-pixel CE with
+    zero loss at ignore_index, multiplied by the per-pixel ``weight``,
+    then **mean over all pixels** (including ignored ones — the
+    denominator is B*H*W, matching F.cross_entropy(reduction='none')
+    followed by ``.mean()``).
+  * ``pixel_accuracy`` == reference mmseg/models/losses/accuracy.py:6-60
+    (top-1): 100 * sum(argmax==label) / numel(label) — the denominator
+    includes ignored pixels (they can never match since preds < C).
+  * ``charbonnier_loss`` == reference utils/utils.py L1_Charbonnier_loss.
+
+Logits are NHWC [B, H, W, C]; labels NHW int32.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def weighted_cross_entropy(logits: jax.Array, labels: jax.Array,
+                           weight: jax.Array | None = None,
+                           ignore_index: int = 255,
+                           class_weight: jax.Array | None = None) -> jax.Array:
+    """Mean per-pixel CE with pixel weights, torch-parity reduction."""
+    num_classes = logits.shape[-1]
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    if class_weight is not None:
+        cw = jnp.take(class_weight, safe_labels)
+        nll = nll * cw
+    nll = jnp.where(valid, nll, 0.0)
+    if weight is not None:
+        nll = nll * weight.astype(jnp.float32)
+    if class_weight is not None:
+        # torch F.cross_entropy with class weights normalizes by the summed
+        # class weight of valid pixels, not the pixel count.
+        denom_w = jnp.where(valid, jnp.take(class_weight, safe_labels), 0.0)
+        return jnp.sum(nll) / jnp.maximum(jnp.sum(denom_w), 1e-8)
+    return jnp.mean(nll)
+
+
+def pixel_accuracy(logits: jax.Array, labels: jax.Array,
+                   ignore_index: int = 255) -> jax.Array:
+    """Top-1 accuracy (%), torch-parity denominator (all pixels)."""
+    pred = jnp.argmax(logits, axis=-1)
+    valid = labels != ignore_index
+    correct = jnp.sum((pred == labels) & valid)
+    return 100.0 * correct / labels.size
+
+
+def charbonnier_loss(pred: jax.Array, target: jax.Array,
+                     eps: float = 1e-6) -> jax.Array:
+    """Robust L1 (Charbonnier): mean(sqrt(diff^2 + eps^2))."""
+    diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
+    return jnp.mean(jnp.sqrt(diff * diff + eps * eps))

@@ -1,0 +1,89 @@
+"""Golden tests: weighted CE / accuracy / mIoU vs torch oracles."""
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from cmda_tpu.ops.losses import weighted_cross_entropy, pixel_accuracy
+from cmda_tpu.ops.metrics import (
+    intersect_and_union, intersect_and_union_jnp, eval_metrics, summarize_miou,
+)
+
+
+def make_batch(seed=0, b=2, h=16, w=16, c=19):
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    labels = rng.integers(0, c, size=(b, h, w)).astype(np.int32)
+    labels[rng.random(size=labels.shape) < 0.1] = 255
+    weight = rng.random(size=(b, h, w)).astype(np.float32)
+    return logits, labels, weight
+
+
+def torch_ce(logits_nhwc, labels, weight=None):
+    pred = torch.as_tensor(logits_nhwc).permute(0, 3, 1, 2)
+    lbl = torch.as_tensor(labels).long()
+    loss = F.cross_entropy(pred, lbl, reduction="none", ignore_index=255)
+    if weight is not None:
+        loss = loss * torch.as_tensor(weight)
+    return loss.mean().item()
+
+
+def test_ce_unweighted():
+    logits, labels, _ = make_batch()
+    ours = float(weighted_cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+    assert abs(ours - torch_ce(logits, labels)) < 1e-5
+
+
+def test_ce_weighted():
+    logits, labels, weight = make_batch(seed=1)
+    ours = float(weighted_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(weight)))
+    assert abs(ours - torch_ce(logits, labels, weight)) < 1e-5
+
+
+def test_accuracy_matches_mmseg_denominator():
+    logits, labels, _ = make_batch(seed=2)
+    pred = torch.as_tensor(logits).permute(0, 3, 1, 2)
+    lbl = torch.as_tensor(labels).long()
+    top1 = pred.argmax(1)
+    oracle = (top1 == lbl).float().sum().item() * 100.0 / lbl.numel()
+    ours = float(pixel_accuracy(jnp.asarray(logits), jnp.asarray(labels)))
+    assert abs(ours - oracle) < 1e-4
+
+
+def torch_intersect_union(pred, label, num_classes, ignore_index=255):
+    pred = torch.as_tensor(pred)
+    label = torch.as_tensor(label)
+    mask = label != ignore_index
+    pred, label = pred[mask], label[mask]
+    inter = pred[pred == label]
+    ai = torch.histc(inter.float(), bins=num_classes, min=0, max=num_classes - 1)
+    ap = torch.histc(pred.float(), bins=num_classes, min=0, max=num_classes - 1)
+    al = torch.histc(label.float(), bins=num_classes, min=0, max=num_classes - 1)
+    return ai.numpy(), (ap + al - ai).numpy(), ap.numpy(), al.numpy()
+
+
+def test_intersect_and_union():
+    rng = np.random.default_rng(3)
+    pred = rng.integers(0, 19, size=(64, 64)).astype(np.int64)
+    label = rng.integers(0, 19, size=(64, 64)).astype(np.int64)
+    label[rng.random(size=label.shape) < 0.2] = 255
+    o = torch_intersect_union(pred, label, 19)
+    ours_np = intersect_and_union(pred, label, 19)
+    ours_j = intersect_and_union_jnp(jnp.asarray(pred), jnp.asarray(label), 19)
+    for a, b, c in zip(o, ours_np, ours_j):
+        np.testing.assert_allclose(b, a)
+        np.testing.assert_allclose(np.asarray(c), a)
+
+
+def test_eval_metrics_miou():
+    rng = np.random.default_rng(4)
+    pred = rng.integers(0, 5, size=(32, 32))
+    label = rng.integers(0, 5, size=(32, 32))
+    ai, au, ap, al = intersect_and_union(pred, label, 5)
+    ret = eval_metrics(ai, au, ap, al)
+    iou_oracle = ai / au
+    np.testing.assert_allclose(ret["IoU"], iou_oracle)
+    summary = summarize_miou(ret, valid_classes=4)
+    assert abs(summary["mIoU_4cls"] - np.nanmean(iou_oracle) * 5 / 4) < 1e-9

@@ -1,0 +1,114 @@
+"""Golden tests: resize vs torch F.interpolate; blur/classmix behavior."""
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from cmda_tpu.ops.resize import resize_bilinear, resize_nearest
+from cmda_tpu.ops.augment import (
+    sample_class_half, class_mix_mask, one_mix, gaussian_blur,
+    reference_blur_kernel_size, color_jitter, cow_masks,
+)
+
+
+def test_bilinear_matches_torch_align_false():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 13, 17, 4)).astype(np.float32)
+    for size in [(26, 34), (52, 68), (7, 9), (13, 17)]:
+        oracle = F.interpolate(torch.as_tensor(x).permute(0, 3, 1, 2),
+                               size=size, mode="bilinear",
+                               align_corners=False).permute(0, 2, 3, 1).numpy()
+        ours = np.asarray(resize_bilinear(jnp.asarray(x), size))
+        np.testing.assert_allclose(ours, oracle, atol=1e-4)
+
+
+def test_bilinear_align_corners_true():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 8, 8, 3)).astype(np.float32)
+    for size in [(16, 16), (5, 7)]:
+        oracle = F.interpolate(torch.as_tensor(x).permute(0, 3, 1, 2),
+                               size=size, mode="bilinear",
+                               align_corners=True).permute(0, 2, 3, 1).numpy()
+        ours = np.asarray(resize_bilinear(jnp.asarray(x), size, align_corners=True))
+        np.testing.assert_allclose(ours, oracle, atol=1e-4)
+
+
+def test_nearest_matches_torch():
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, 19, size=(1, 11, 13)).astype(np.float32)
+    for size in [(22, 26), (6, 7), (33, 39)]:
+        oracle = F.interpolate(torch.as_tensor(x)[:, None], size=size,
+                               mode="nearest")[:, 0].numpy()
+        ours = np.asarray(resize_nearest(jnp.asarray(x), size))
+        np.testing.assert_allclose(ours, oracle)
+
+
+def test_class_mix_semantics():
+    rng = jax.random.PRNGKey(0)
+    labels = jnp.asarray(np.array([
+        [[0, 0, 1, 1], [2, 2, 3, 3], [4, 4, 255, 255], [5, 5, 6, 6]],
+    ], dtype=np.int32))
+    selected = sample_class_half(rng, labels)
+    n_present = 8  # 7 classes + 255
+    assert int(jnp.sum(selected)) == n_present // 2
+    mask = class_mix_mask(labels, selected)
+    # every pixel whose class is selected must be masked
+    sel_ids = np.where(np.asarray(selected))[0]
+    ids = list(range(19)) + [255]
+    lbl = np.asarray(labels)
+    expect = np.isin(lbl, [ids[i] for i in sel_ids])
+    np.testing.assert_array_equal(np.asarray(mask), expect)
+
+
+def test_one_mix_blend():
+    src = jnp.ones((1, 4, 4, 3))
+    tgt = jnp.zeros((1, 4, 4, 3))
+    mask = jnp.asarray(np.array([[[1, 1, 0, 0]] * 4], dtype=np.float32))
+    out = np.asarray(one_mix(mask, src, tgt))
+    assert out[0, 0, 0, 0] == 1.0 and out[0, 0, 3, 0] == 0.0
+
+
+def test_blur_kernel_size_rule():
+    # reference formula at dacs_transforms.py:85-92; H=W=512 -> 51
+    assert reference_blur_kernel_size(512) == 51
+    assert reference_blur_kernel_size(400) == 39
+
+
+def test_gaussian_blur_matches_torch():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    sigma = 0.8
+    k = 7
+    half = (k - 1) // 2
+    xs = np.arange(-half, half + 1, dtype=np.float32)
+    w1d = np.exp(-0.5 * (xs / sigma) ** 2)
+    w1d = w1d / w1d.sum()
+    xt = torch.as_tensor(x).permute(0, 3, 1, 2)
+    xt = F.pad(xt, (0, 0, half, half), mode="reflect")
+    xt = F.conv2d(xt, torch.as_tensor(w1d)[None, None, :, None].repeat(3, 1, 1, 1), groups=3)
+    xt = F.pad(xt, (half, half, 0, 0), mode="reflect")
+    xt = F.conv2d(xt, torch.as_tensor(w1d)[None, None, None, :].repeat(3, 1, 1, 1), groups=3)
+    oracle = xt.permute(0, 2, 3, 1).numpy()
+    ours = np.asarray(gaussian_blur(jnp.asarray(x), jnp.asarray(sigma), (k, k)))
+    np.testing.assert_allclose(ours, oracle, atol=1e-5)
+
+
+def test_color_jitter_stays_in_range():
+    rng = jax.random.PRNGKey(1)
+    img = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3))
+    out = color_jitter(rng, img, strength=0.2)
+    assert out.shape == img.shape
+    assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
+    # zero-strength jitter is (nearly) identity
+    out0 = color_jitter(rng, img, strength=0.0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(img), atol=1e-4)
+
+
+def test_cow_masks_proportions():
+    rng = jax.random.PRNGKey(3)
+    masks = cow_masks(rng, 4, 64, 64)
+    assert masks.shape == (4, 64, 64)
+    props = np.asarray(jnp.mean(masks.astype(jnp.float32), axis=(1, 2)))
+    assert np.all(props > 0.02) and np.all(props < 1.0)
