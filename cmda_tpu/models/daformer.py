@@ -1,0 +1,208 @@
+"""DAFormer decode heads (context-aware multi-scale fusion decoder).
+
+Behavioral contract (reference mmseg/models/decode_heads/daformer_head.py +
+decode_head.py):
+  * per-scale 1x1 "mlp" embed to 256ch, bilinear-upsample all scales to the
+    stride-4 grid, channel-concat in scale order, then a depthwise-separable
+    ASPP fusion (dilations (1,6,12,18), BN+ReLU, no image pool; config
+    configs/_base_/models/daformer_sepaspp_mitb5.py:8-16) and a 3x3
+    bottleneck; classifier = Dropout2d(0.1) + 1x1 conv -> num_classes.
+  * ``DAFormerFusionHead`` == DAFormerHeadFusion (daformer_head.py:200-323):
+    decodes image / events / fusion / ISR feature pyramids; with
+    ``share='full'`` all streams use one decoder + one classifier (the
+    flagship cs2dsec config sets share_decoder=True); ISR reuses the events
+    decoder + events classifier; with ``split_cls`` separate classifiers
+    exist for events/fusion streams (cs2dz raw-isr_split mode).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .common import ConvBNReLU, dense_init
+from ..ops.resize import resize_bilinear
+
+cls_init = nn.initializers.normal(stddev=0.01)
+
+
+@dataclass(frozen=True)
+class DAFormerHeadConfig:
+    in_channels: Sequence[int] = (64, 128, 320, 512)
+    embed_dim: int = 256
+    channels: int = 256
+    num_classes: int = 19
+    dropout_ratio: float = 0.1
+    aspp_dilations: Sequence[int] = (1, 6, 12, 18)
+    fusion_type: str = "aspp"  # 'aspp' (sepaspp) or 'conv' (conv1 variant)
+
+
+class SepConvBNReLU(nn.Module):
+    """mmcv DepthwiseSeparableConvModule: depthwise(conv+BN+ReLU) then
+    pointwise(conv+BN+ReLU)."""
+    features: int
+    kernel_size: int = 3
+    dilation: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBNReLU(x.shape[-1], self.kernel_size, dilation=self.dilation,
+                       groups=x.shape[-1], dtype=self.dtype,
+                       name="depthwise")(x, train)
+        x = ConvBNReLU(self.features, 1, dtype=self.dtype,
+                       name="pointwise")(x, train)
+        return x
+
+
+class SepASPP(nn.Module):
+    """Depthwise-separable ASPP + 3x3 bottleneck (ASPPWrapper, pool=False)."""
+    channels: int
+    dilations: Sequence[int] = (1, 6, 12, 18)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        branches = []
+        for i, d in enumerate(self.dilations):
+            if d == 1:
+                y = ConvBNReLU(self.channels, 1, dtype=self.dtype,
+                               name=f"aspp{i}")(x, train)
+            else:
+                y = SepConvBNReLU(self.channels, 3, dilation=d,
+                                  dtype=self.dtype, name=f"aspp{i}")(x, train)
+            branches.append(y)
+        y = jnp.concatenate(branches, axis=-1)
+        y = ConvBNReLU(self.channels, 3, dtype=self.dtype,
+                       name="bottleneck")(y, train)
+        return y
+
+
+class DAFormerDecoder(nn.Module):
+    """Embed + upsample + concat + fuse; returns pre-classifier features."""
+    cfg: DAFormerHeadConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        cfg = self.cfg
+        target_hw = feats[0].shape[1:3]
+        embeds = []
+        for i, f in enumerate(feats):
+            e = nn.Dense(cfg.embed_dim, kernel_init=dense_init,
+                         dtype=self.dtype, name=f"embed{i}")(f)
+            if e.shape[1:3] != target_hw:
+                e = resize_bilinear(e, target_hw)
+            embeds.append(e)
+        x = jnp.concatenate(embeds, axis=-1)
+        if cfg.fusion_type == "aspp":
+            x = SepASPP(cfg.channels, cfg.aspp_dilations, dtype=self.dtype,
+                        name="fuse")(x, train)
+        elif cfg.fusion_type == "conv":
+            x = ConvBNReLU(cfg.channels, 1, dtype=self.dtype,
+                           name="fuse")(x, train)
+        else:
+            raise ValueError(cfg.fusion_type)
+        return x
+
+
+class Classifier(nn.Module):
+    """Dropout2d + 1x1 conv classifier (cls_seg)."""
+    num_classes: int
+    dropout_ratio: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.dropout_ratio > 0:
+            # Dropout2d drops whole channels
+            x = nn.Dropout(self.dropout_ratio, broadcast_dims=(1, 2),
+                           deterministic=deterministic)(x)
+        x = nn.Conv(self.num_classes, (1, 1), kernel_init=cls_init,
+                    dtype=jnp.float32, name="conv_seg")(x.astype(jnp.float32))
+        return x
+
+
+class DAFormerHead(nn.Module):
+    """Single-stream DAFormer head -> logits at stride 4."""
+    cfg: DAFormerHeadConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        x = DAFormerDecoder(self.cfg, dtype=self.dtype, name="decoder")(feats, train)
+        return Classifier(self.cfg.num_classes, self.cfg.dropout_ratio,
+                          dtype=self.dtype, name="cls")(x, deterministic=not train)
+
+
+class DAFormerFusionHead(nn.Module):
+    """Multi-stream head over {image, events, fusion, ISR} pyramids.
+
+    share: 'full'  -> one decoder, one classifier for every stream
+           'half'  -> per-stream embeds, shared fuse layer (approximated as
+                      shared decoder tail; reference dafomer half_share ties
+                      only fuse layers)
+           'none'  -> three independent decoders
+    split_cls: independent classifiers for events/fusion streams.
+    events_classes: classifier width for the events stream (2 for the
+           raw-isr_no-fusion edge variant).
+    """
+    cfg: DAFormerHeadConfig
+    share: str = "full"
+    split_cls: bool = False
+    events_classes: int | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.decoder_image = DAFormerDecoder(self.cfg, dtype=self.dtype)
+        if self.share == "none":
+            self.decoder_events = DAFormerDecoder(self.cfg, dtype=self.dtype)
+            self.decoder_fusion = DAFormerDecoder(self.cfg, dtype=self.dtype)
+        self.cls = Classifier(self.cfg.num_classes, self.cfg.dropout_ratio,
+                              dtype=self.dtype)
+        if self.split_cls:
+            self.cls_events = Classifier(
+                self.events_classes or self.cfg.num_classes,
+                self.cfg.dropout_ratio, dtype=self.dtype)
+            self.cls_fusion = Classifier(self.cfg.num_classes,
+                                         self.cfg.dropout_ratio, dtype=self.dtype)
+
+    def _decode(self, which: str, feats, train: bool):
+        if self.share == "none":
+            dec = {"image": self.decoder_image, "events": self.decoder_events,
+                   "fusion": self.decoder_fusion}[which]
+        else:
+            dec = self.decoder_image
+        return dec(feats, train)
+
+    def _cls(self, which: str, x, train: bool):
+        det = not train
+        if not self.split_cls:
+            return self.cls(x, deterministic=det)
+        if which == "image":
+            return self.cls(x, deterministic=det)
+        if which in ("events", "isr"):
+            return self.cls_events(x, deterministic=det)
+        return self.cls_fusion(x, deterministic=det)
+
+    def __call__(self, feats: dict, train: bool = False):
+        """feats: {'f_image': [...], 'f_events': [...]|None,
+        'f_fusion': [...]|None, 'f_img_self_res': [...]|None}
+        -> dict of logit streams (None where input missing)."""
+        out = {"image_output": None, "events_output": None,
+               "fusion_output": None, "img_self_res_output": None}
+        out["image_output"] = self._cls(
+            "image", self._decode("image", feats["f_image"], train), train)
+        if feats.get("f_events") is not None:
+            out["events_output"] = self._cls(
+                "events", self._decode("events", feats["f_events"], train), train)
+        if feats.get("f_fusion") is not None:
+            out["fusion_output"] = self._cls(
+                "fusion", self._decode("fusion", feats["f_fusion"], train), train)
+        if feats.get("f_img_self_res") is not None:
+            # ISR rides the events decoder + events classifier
+            out["img_self_res_output"] = self._cls(
+                "isr", self._decode("events", feats["f_img_self_res"], train), train)
+        return out

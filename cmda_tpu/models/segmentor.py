@@ -1,0 +1,185 @@
+"""Segmentors: single-backbone EncoderDecoder and the dual-backbone
+FusionEncoderDecoder.
+
+Behavioral contract (reference mmseg/models/segmentors/encoder_decoder.py):
+  * FusionEncoderDecoder (:625-1003): backbone_image + backbone_events (the
+    events backbone also encodes the ISR stream, :702), a fusion module over
+    the two pyramids (+ optional fusion_isr module), DAFormerHeadFusion.
+    ``extract_feat`` modes: default (fusion(image, events)), 'no_fusion',
+    'fusion_isr' (fuse image with ISR), 'fusion_all' (average of ISR-fusion
+    and events-fusion pyramids, :698-721).  Logits are resized to the input
+    size with bilinear align_corners=False (:723-746).
+  * slide inference (:851-894): overlapping crops, accumulated logits
+    normalized by a count map — here compiled as ONE XLA program over a
+    static crop grid instead of a Python loop of device launches.
+
+Design: linen modules return logits; losses live in cmda_tpu/uda (the train
+step) so the module stays a pure function of (params, inputs).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .mit import MixVisionTransformer, MIT_VARIANTS
+from .daformer import DAFormerHead, DAFormerFusionHead, DAFormerHeadConfig
+from .fusion import build_fusion_module
+from ..ops.resize import resize_bilinear
+
+
+@dataclass(frozen=True)
+class SegmentorConfig:
+    backbone: str = "mit_b5"
+    num_classes: int = 19
+    train_type: str = "cs2dsec_image+events_together"
+    fusion: str = "attention_avg"
+    fusion_isr: str = "attention"
+    share_decoder: str = "full"     # 'full' | 'half' | 'none'
+    split_cls: bool = False
+    events_classes: int | None = None
+    head: DAFormerHeadConfig = field(default_factory=DAFormerHeadConfig)
+    drop_path_rate: float = 0.1
+
+
+def _dtype_of(name):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name] \
+        if isinstance(name, str) else name
+
+
+class EncoderDecoder(nn.Module):
+    """Single-backbone segmentor (DAFormer/SegFormer style)."""
+    cfg: SegmentorConfig = SegmentorConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        mit_cfg = MIT_VARIANTS[self.cfg.backbone]
+        mit_cfg = type(mit_cfg)(**{**mit_cfg.__dict__,
+                                   "drop_path_rate": self.cfg.drop_path_rate})
+        self.backbone = MixVisionTransformer(mit_cfg, dtype=self.dtype)
+        self.decode_head = DAFormerHead(self.cfg.head, dtype=self.dtype)
+
+    def extract_feat(self, img, train: bool = False):
+        return self.backbone(img.astype(self.dtype), train)
+
+    def __call__(self, img, train: bool = False):
+        """encode_decode: logits resized to input resolution."""
+        feats = self.extract_feat(img, train)
+        logits = self.decode_head(feats, train)
+        return resize_bilinear(logits, img.shape[1:3])
+
+    def forward_with_features(self, img, train: bool = False):
+        feats = self.extract_feat(img, train)
+        logits = self.decode_head(feats, train)
+        return resize_bilinear(logits, img.shape[1:3]), feats
+
+
+class FusionEncoderDecoder(nn.Module):
+    """Dual-backbone image+events segmentor with feature-level fusion."""
+    cfg: SegmentorConfig = SegmentorConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        mit_cfg = MIT_VARIANTS[self.cfg.backbone]
+        mit_cfg = type(mit_cfg)(**{**mit_cfg.__dict__,
+                                   "drop_path_rate": self.cfg.drop_path_rate})
+        self.backbone_image = MixVisionTransformer(mit_cfg, dtype=self.dtype)
+        self.backbone_events = MixVisionTransformer(mit_cfg, dtype=self.dtype)
+        self.fusion_module = build_fusion_module(self.cfg.fusion, self.dtype)
+        self.fusion_isr_module = build_fusion_module(self.cfg.fusion_isr, self.dtype)
+        self.decode_head = DAFormerFusionHead(
+            self.cfg.head, share=self.cfg.share_decoder,
+            split_cls=self.cfg.split_cls,
+            events_classes=self.cfg.events_classes, dtype=self.dtype)
+
+    def extract_feat(self, image, events, img_self_res=None,
+                     mode: str = "default", train: bool = False):
+        """-> {'f_image', 'f_events', 'f_fusion', 'f_img_self_res'}."""
+        f_image = (self.backbone_image(image.astype(self.dtype), train)
+                   if image is not None else None)
+        f_events = (self.backbone_events(events.astype(self.dtype), train)
+                    if events is not None else None)
+        f_isr = (self.backbone_events(img_self_res.astype(self.dtype), train)
+                 if img_self_res is not None else None)
+        if mode == "no_fusion":
+            f_fusion = None
+        elif mode == "fusion_isr":
+            other = f_events if f_isr is None else f_isr
+            f_fusion = self.fusion_isr_module(f_image, other, train)
+        elif mode == "fusion_all":
+            f_a = self.fusion_isr_module(f_image, f_isr, train)
+            f_b = self.fusion_module(f_image, f_events, train)
+            f_fusion = [(a + b) / 2 for a, b in zip(f_a, f_b)]
+        else:
+            f_fusion = (self.fusion_module(f_image, f_events, train)
+                        if (self.fusion_module is not None and f_events is not None)
+                        else None)
+        return {"f_image": f_image, "f_events": f_events,
+                "f_fusion": f_fusion, "f_img_self_res": f_isr}
+
+    def forward_logits(self, image, events, img_self_res=None,
+                       mode: str = "default", train: bool = False,
+                       resize_to_input: bool = True):
+        """All logit streams, optionally resized to the input resolution."""
+        feats = self.extract_feat(image, events, img_self_res, mode, train)
+        out = self.decode_head(feats, train)
+        if resize_to_input:
+            size = (image.shape[1:3] if image is not None
+                    else events.shape[1:3])
+            out = {k: (resize_bilinear(v, size) if v is not None else None)
+                   for k, v in out.items()}
+        return out
+
+    def forward_train(self, image, events, img_self_res=None,
+                      mode: str = "default"):
+        """Training forward: stride-4 logits dict + features (for fdist /
+        consistency losses)."""
+        feats = self.extract_feat(image, events, img_self_res, mode, train=True)
+        logits = self.decode_head(feats, train=True)
+        return logits, feats
+
+    def __call__(self, image, events, img_self_res=None,
+                 mode: str = "default", output: str = "fusion",
+                 train: bool = False):
+        """encode_decode: one selected stream, resized to input size."""
+        out = self.forward_logits(image, events, img_self_res, mode, train)
+        key = {"fusion": "fusion_output", "image": "image_output",
+               "events": "events_output", "isr": "img_self_res_output"}[output]
+        got = out[key]
+        if got is None:  # events-less inference falls back to image stream
+            got = out["image_output"]
+        return got
+
+
+def slide_inference(apply_fn, img, *, crop_size: tuple[int, int],
+                    stride: tuple[int, int], num_classes: int):
+    """Sliding-window inference compiled as one XLA program.
+
+    ``apply_fn(crop) -> logits`` at crop resolution.  Static crop grid
+    (reference encoder_decoder.py:851-894): crops are batched through one
+    vmapped forward, then scatter-added and count-normalized.
+    """
+    b, h, w, c = img.shape
+    h_crop, w_crop = crop_size
+    h_stride, w_stride = stride
+    h_grids = max(h - h_crop + h_stride - 1, 0) // h_stride + 1
+    w_grids = max(w - w_crop + w_stride - 1, 0) // w_stride + 1
+    preds = jnp.zeros((b, h, w, num_classes), jnp.float32)
+    count = jnp.zeros((b, h, w, 1), jnp.float32)
+    offsets = []
+    for hi in range(h_grids):
+        for wi in range(w_grids):
+            y1 = min(hi * h_stride, h - h_crop)
+            x1 = min(wi * w_stride, w - w_crop)
+            offsets.append((y1, x1))
+    crops = jnp.stack([
+        jax.lax.dynamic_slice(img, (0, y1, x1, 0), (b, h_crop, w_crop, c))
+        for (y1, x1) in offsets])
+    logits = jax.lax.map(apply_fn, crops)  # [G, B, hc, wc, K]
+    for g, (y1, x1) in enumerate(offsets):
+        pad = [(0, 0), (y1, h - y1 - h_crop), (x1, w - x1 - w_crop), (0, 0)]
+        preds = preds + jnp.pad(logits[g].astype(jnp.float32), pad)
+        count = count + jnp.pad(jnp.ones((b, h_crop, w_crop, 1), jnp.float32), pad)
+    return preds / count
