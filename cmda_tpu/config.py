@@ -1,0 +1,193 @@
+"""Typed configuration tree (replaces mmcv Config + _base_ inheritance).
+
+The reference composes python config files with ``_base_`` multiple
+inheritance (configs/fusion/cs2dsec_image+events_together_b5.py:1-13); here a
+run is a plain dataclass tree with preset factory functions.  Presets mirror
+the two published CMDA recipes:
+  * ``cs2dsec_image_events_b5`` == configs/fusion/cs2dsec_image+events_together_b5.py
+  * ``cs2dz_image_rawisr_b5``   == configs/fusion/cs2dz_image+raw-isr_b5.py
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Sequence
+
+from .models.daformer import DAFormerHeadConfig
+from .models.segmentor import SegmentorConfig
+
+
+@dataclass(frozen=True)
+class IsrParams:
+    """Image Self-Residual parameters (per domain / per use)."""
+    val_range: tuple[float, float] = (0.01, 1.01)
+    threshold: float = 0.005
+    clip_range: float = 0.1
+    shift_pixel: int = 1
+
+
+@dataclass(frozen=True)
+class UDAConfig:
+    """DACS self-training hyperparameters
+    (configs/_base_/uda/dacs.py + flagship overrides)."""
+    alpha: float = 0.999
+    pseudo_threshold: float = 0.968
+    pseudo_weight_ignore_top: int = 0
+    pseudo_weight_ignore_bottom: int = 0
+    blur: bool = True
+    color_jitter_strength: float = 0.2
+    color_jitter_probability: float = 0.2
+    # multi-stream loss weights (forward_cfg.loss_weight)
+    loss_weight_image: float = 0.5
+    loss_weight_events: float = 0.5
+    loss_weight_fusion: float = 0.5
+    loss_weight_isr: float = 0.25
+    # events-vs-ISR per-iteration coin
+    random_choice_thres: float | str = 0.5   # float, or 'a-b' linear schedule
+    # mixed-image -> mixed-ISR recomputation
+    mixed_image_to_mixed_isr: bool = True
+    isr_params: IsrParams = field(default_factory=IsrParams)
+    shift_type: str = "random"                # 'random' | 'rightdown' | 'all'
+    # ImageNet feature distance
+    imnet_feature_dist_lambda: float = 0.0
+    imnet_feature_dist_classes: Sequence[int] = (6, 7, 11, 12, 13, 14, 15, 16, 17, 18)
+    imnet_feature_dist_scale_min_ratio: float = 0.75
+    # variants
+    isr_another_fusion: bool = False
+    isr_no_fusion: bool = False
+    fuse_both_ice_and_e: bool = False
+    without_events: bool = False
+    without_isd: bool = False
+    lambda_feature_consistency: float = 0.25
+    use_cyclegan_day_events: bool = True      # cyclegan_itrd2en
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """AdamW + poly-with-warmup (configs/_base_/schedules/adamw.py,
+    poly10warm.py; head lr x10, no decay for norm params)."""
+    lr: float = 6e-5
+    betas: tuple[float, float] = (0.9, 0.999)
+    weight_decay: float = 0.01
+    head_lr_mult: float = 10.0
+    warmup_iters: int = 1500
+    warmup_ratio: float = 1e-6
+    power: float = 1.0
+    min_lr: float = 0.0
+    max_iters: int = 40000
+    grad_clip: float | None = None
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    batch_size: int = 2
+    crop_size: tuple[int, int] = (512, 512)
+    num_classes: int = 19
+    source: str = "cityscapes_ic"
+    target: str = "dsec"
+    source_root: str = "data/cityscapes"
+    target_root: str = "data/dsec"
+    events_bins: int = 1
+    events_clip_scale: float = 1.5 / 500000.0  # adaptive clip per event count
+    # rare class sampling
+    rcs_enabled: bool = True
+    rcs_class_temp: float = 0.01
+    rcs_min_pixels: int = 3000
+    rcs_min_crop_ratio: float = 0.5
+    # source ISR params (on-the-fly from the crop)
+    source_isr: IsrParams = field(default_factory=IsrParams)
+    target_isr: IsrParams = field(default_factory=IsrParams)
+    shift_type: str = "random"
+    workers: int = 4
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    name: str = "cs2dsec_image+events_b5"
+    seed: int = 0
+    work_dir: str = "work_dirs"
+    model: SegmentorConfig = field(default_factory=SegmentorConfig)
+    uda: UDAConfig = field(default_factory=UDAConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    eval_interval: int = 4000
+    checkpoint_interval: int = 40000
+    log_interval: int = 50
+    debug_img_interval: int = 500
+    dtype: str = "float32"  # compute dtype for model ('bfloat16' on TPU)
+
+
+def replace(cfg, **kw):
+    return dataclasses.replace(cfg, **kw)
+
+
+def cs2dsec_image_events_b5(**overrides) -> RunConfig:
+    """Flagship: Cityscapes(image+IC) -> DSEC-Night image+events fusion UDA."""
+    cfg = RunConfig(
+        name="cs2dsec_image+events_b5",
+        model=SegmentorConfig(
+            backbone="mit_b5",
+            train_type="cs2dsec_image+events_together",
+            fusion="attention_avg",
+            fusion_isr="attention",
+            share_decoder="full",
+            head=DAFormerHeadConfig()),
+        uda=UDAConfig(),
+        optim=OptimConfig(),
+        data=DataConfig(),
+    )
+    return replace(cfg, **overrides) if overrides else cfg
+
+
+def cs2dz_image_rawisr_b5(**overrides) -> RunConfig:
+    """Cityscapes -> DarkZurich image+raw-ISR fusion UDA
+    (configs/fusion/cs2dz_image+raw-isr_b5.py)."""
+    cfg = RunConfig(
+        name="cs2dz_image+raw-isr_b5",
+        model=SegmentorConfig(
+            backbone="mit_b5",
+            train_type="cs2dz_image+raw-isr",
+            fusion="attention",
+            fusion_isr="",
+            share_decoder="full",
+            head=DAFormerHeadConfig()),
+        uda=UDAConfig(
+            mixed_image_to_mixed_isr=True,
+            loss_weight_image=0.7, loss_weight_events=0.7,
+            loss_weight_fusion=0.7, loss_weight_isr=0.25,
+            pseudo_weight_ignore_top=15, pseudo_weight_ignore_bottom=120,
+            shift_type="rightdown",
+            isr_params=IsrParams(val_range=(1.0, 100.0), threshold=0.01,
+                                 clip_range=0.1, shift_pixel=3),
+            use_cyclegan_day_events=False),
+        optim=OptimConfig(),
+        data=DataConfig(source="cityscapes_ic", target="dark_zurich",
+                        target_root="data/dark_zurich",
+                        source_isr=IsrParams(val_range=(1.0, 100.0),
+                                             threshold=0.01, clip_range=0.1,
+                                             shift_pixel=3),
+                        target_isr=IsrParams(val_range=(1.0, 100.0),
+                                             threshold=0.01, clip_range=0.1,
+                                             shift_pixel=3),
+                        shift_type="rightdown"),
+    )
+    return replace(cfg, **overrides) if overrides else cfg
+
+
+def tiny_test_config(**overrides) -> RunConfig:
+    """CPU-testable miniature (mit_b0, small crops)."""
+    cfg = RunConfig(
+        name="tiny",
+        model=SegmentorConfig(
+            backbone="mit_b0",
+            train_type="cs2dsec_image+events_together",
+            fusion="attention_avg",
+            fusion_isr="attention",
+            share_decoder="full",
+            head=DAFormerHeadConfig(in_channels=(32, 64, 160, 256),
+                                    embed_dim=64, channels=64)),
+        uda=UDAConfig(use_cyclegan_day_events=False),
+        optim=OptimConfig(warmup_iters=10, max_iters=100),
+        data=DataConfig(batch_size=2, crop_size=(64, 64)),
+    )
+    return replace(cfg, **overrides) if overrides else cfg

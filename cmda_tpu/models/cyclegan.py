@@ -1,0 +1,195 @@
+"""CycleGAN networks — the "Image Content-Extractor" style-transfer nets.
+
+Behavioral contract (reference mmseg/models/cyclegan/cyclegan_model.py):
+  * ResnetGenerator (:316-375): reflect-pad 7x7 conv -> 2 stride-2 downs ->
+    n residual blocks (reflect-pad 3x3 convs, instance norm, no affine) ->
+    2 ConvTranspose ups (k3 s2 p1 op1) -> reflect-pad 7x7 conv -> tanh.
+    The flagship checkpoint ``cityscapes_ICD_to_dsec_EN.pth`` is the 1ch->1ch
+    9-block instance-norm variant used frozen at train time to convert the
+    source temporal-difference frame into night-event style
+    (reference mmseg/models/uda/dacs.py:96-103, 400-404).
+  * NLayerDiscriminator (:539-585): 4x4 stride-2 PatchGAN.
+  * PixelDiscriminator (:587-616): 1x1 PatchGAN.
+  * LightNet (:619-621): 3-block batch-norm ResnetGenerator (3ch).
+  * gan_loss: lsgan (MSE) / vanilla (BCE-with-logits) / wgangp objectives.
+
+All NHWC. Instance norm = per-sample/channel spatial standardization
+(affine=False, no running stats) — matching torch defaults exactly.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def instance_norm(x, eps: float = 1e-5):
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class TorchConvTranspose(nn.Module):
+    """ConvTranspose matching torch semantics (k, s, p, output_padding)."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p, op = (self.kernel_size, self.stride, self.padding,
+                       self.output_padding)
+        kernel = self.param(
+            "kernel", nn.initializers.normal(0.02),
+            (k, k, self.features, x.shape[-1]))  # HWOI to transpose below
+        lo = k - 1 - p
+        hi = k - 1 - p + op
+        y = jax.lax.conv_transpose(
+            x, jnp.transpose(kernel, (0, 1, 3, 2)),
+            strides=(s, s), padding=((lo, hi), (lo, hi)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+class ResnetBlock(nn.Module):
+    dim: int
+    norm: str = "instance"
+    use_bias: bool = True
+
+    def _norm(self, x, name):
+        if self.norm == "instance":
+            return instance_norm(x)
+        return nn.BatchNorm(use_running_average=True, momentum=0.9,
+                            epsilon=1e-5, name=name)(x)
+
+    @nn.compact
+    def __call__(self, x):
+        y = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        y = nn.Conv(self.dim, (3, 3), padding="VALID", use_bias=self.use_bias,
+                    name="conv1")(y)
+        y = nn.relu(self._norm(y, "bn1"))
+        y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        y = nn.Conv(self.dim, (3, 3), padding="VALID", use_bias=self.use_bias,
+                    name="conv2")(y)
+        y = self._norm(y, "bn2")
+        return x + y
+
+
+class ResnetGenerator(nn.Module):
+    """reflect7x7 -> 2 downs -> n_blocks res -> 2 ups -> reflect7x7 -> tanh."""
+    output_nc: int = 1
+    ngf: int = 64
+    n_blocks: int = 9
+    norm: str = "instance"
+
+    def _norm(self, x, name):
+        if self.norm == "instance":
+            return instance_norm(x)
+        return nn.BatchNorm(use_running_average=True, momentum=0.9,
+                            epsilon=1e-5, name=name)(x)
+
+    @nn.compact
+    def __call__(self, x):
+        use_bias = self.norm == "instance"
+        ngf = self.ngf
+        y = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+        y = nn.Conv(ngf, (7, 7), padding="VALID", use_bias=use_bias,
+                    name="conv_in")(y)
+        y = nn.relu(self._norm(y, "bn_in"))
+        for i in range(2):
+            mult = 2 ** i
+            y = nn.Conv(ngf * mult * 2, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)), use_bias=use_bias,
+                        name=f"down{i}")(y)
+            y = nn.relu(self._norm(y, f"bn_down{i}"))
+        for i in range(self.n_blocks):
+            y = ResnetBlock(ngf * 4, norm=self.norm, use_bias=use_bias,
+                            name=f"resblock{i}")(y)
+        for i in range(2):
+            mult = 2 ** (2 - i)
+            y = TorchConvTranspose(ngf * mult // 2, 3, 2, 1, 1,
+                                   use_bias=use_bias, name=f"up{i}")(y)
+            y = nn.relu(self._norm(y, f"bn_up{i}"))
+        y = jnp.pad(y, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+        y = nn.Conv(self.output_nc, (7, 7), padding="VALID", use_bias=True,
+                    name="conv_out")(y)
+        return jnp.tanh(y)
+
+
+def light_net():
+    """3-block batch-norm 3ch generator (reference :619-621)."""
+    return ResnetGenerator(output_nc=3, ngf=64, n_blocks=3, norm="batch")
+
+
+class NLayerDiscriminator(nn.Module):
+    """4x4 stride-2 PatchGAN discriminator -> 1ch prediction map."""
+    ndf: int = 64
+    n_layers: int = 3
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        use_bias = self.norm == "instance"
+
+        def norm(y, name):
+            if self.norm == "instance":
+                return instance_norm(y)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, name=name)(y)
+
+        y = nn.Conv(self.ndf, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    name="conv0")(x)
+        y = nn.leaky_relu(y, 0.2)
+        nf = 1
+        for n in range(1, self.n_layers):
+            nf = min(2 ** n, 8)
+            y = nn.Conv(self.ndf * nf, (4, 4), strides=(2, 2),
+                        padding=((1, 1), (1, 1)), use_bias=use_bias,
+                        name=f"conv{n}")(y)
+            y = nn.leaky_relu(norm(y, f"bn{n}"), 0.2)
+        nf = min(2 ** self.n_layers, 8)
+        y = nn.Conv(self.ndf * nf, (4, 4), strides=(1, 1),
+                    padding=((1, 1), (1, 1)), use_bias=use_bias,
+                    name=f"conv{self.n_layers}")(y)
+        y = nn.leaky_relu(norm(y, f"bn{self.n_layers}"), 0.2)
+        return nn.Conv(1, (4, 4), strides=(1, 1), padding=((1, 1), (1, 1)),
+                       name="conv_out")(y)
+
+
+class PixelDiscriminator(nn.Module):
+    """1x1 PatchGAN (pixel) discriminator."""
+    ndf: int = 64
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        use_bias = self.norm == "instance"
+        y = nn.Conv(self.ndf, (1, 1), name="conv0")(x)
+        y = nn.leaky_relu(y, 0.2)
+        y = nn.Conv(self.ndf * 2, (1, 1), use_bias=use_bias, name="conv1")(y)
+        y = nn.leaky_relu(instance_norm(y) if self.norm == "instance" else y, 0.2)
+        return nn.Conv(1, (1, 1), use_bias=use_bias, name="conv_out")(y)
+
+
+def gan_loss(prediction, target_is_real: bool, mode: str = "lsgan"):
+    """lsgan: MSE to the 0/1 target; vanilla: BCE-with-logits; wgangp: mean."""
+    if mode == "lsgan":
+        target = jnp.full_like(prediction, 1.0 if target_is_real else 0.0)
+        return jnp.mean((prediction - target) ** 2)
+    if mode == "vanilla":
+        target = jnp.full_like(prediction, 1.0 if target_is_real else 0.0)
+        logp = jax.nn.log_sigmoid(prediction)
+        log1mp = jax.nn.log_sigmoid(-prediction)
+        return -jnp.mean(target * logp + (1 - target) * log1mp)
+    if mode == "wgangp":
+        return -jnp.mean(prediction) if target_is_real else jnp.mean(prediction)
+    raise NotImplementedError(mode)

@@ -126,13 +126,19 @@ class Classifier(nn.Module):
 
 
 class DAFormerHead(nn.Module):
-    """Single-stream DAFormer head -> logits at stride 4."""
+    """Single-stream DAFormer head -> logits at stride 4.
+
+    ``train`` gates dropout; ``bn_train`` (defaults to train) gates BN batch
+    statistics — the EMA teacher runs with bn_train=True but train=False
+    (reference dacs.py:458-462 disables only Dropout/DropPath on the teacher).
+    """
     cfg: DAFormerHeadConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, train: bool = False):
-        x = DAFormerDecoder(self.cfg, dtype=self.dtype, name="decoder")(feats, train)
+    def __call__(self, feats, train: bool = False, bn_train: bool | None = None):
+        bn = train if bn_train is None else bn_train
+        x = DAFormerDecoder(self.cfg, dtype=self.dtype, name="decoder")(feats, bn)
         return Classifier(self.cfg.num_classes, self.cfg.dropout_ratio,
                           dtype=self.dtype, name="cls")(x, deterministic=not train)
 
@@ -169,13 +175,13 @@ class DAFormerFusionHead(nn.Module):
             self.cls_fusion = Classifier(self.cfg.num_classes,
                                          self.cfg.dropout_ratio, dtype=self.dtype)
 
-    def _decode(self, which: str, feats, train: bool):
+    def _decode(self, which: str, feats, bn_train: bool):
         if self.share == "none":
             dec = {"image": self.decoder_image, "events": self.decoder_events,
                    "fusion": self.decoder_fusion}[which]
         else:
             dec = self.decoder_image
-        return dec(feats, train)
+        return dec(feats, bn_train)
 
     def _cls(self, which: str, x, train: bool):
         det = not train
@@ -187,22 +193,24 @@ class DAFormerFusionHead(nn.Module):
             return self.cls_events(x, deterministic=det)
         return self.cls_fusion(x, deterministic=det)
 
-    def __call__(self, feats: dict, train: bool = False):
+    def __call__(self, feats: dict, train: bool = False,
+                 bn_train: bool | None = None):
         """feats: {'f_image': [...], 'f_events': [...]|None,
         'f_fusion': [...]|None, 'f_img_self_res': [...]|None}
         -> dict of logit streams (None where input missing)."""
+        bn = train if bn_train is None else bn_train
         out = {"image_output": None, "events_output": None,
                "fusion_output": None, "img_self_res_output": None}
         out["image_output"] = self._cls(
-            "image", self._decode("image", feats["f_image"], train), train)
+            "image", self._decode("image", feats["f_image"], bn), train)
         if feats.get("f_events") is not None:
             out["events_output"] = self._cls(
-                "events", self._decode("events", feats["f_events"], train), train)
+                "events", self._decode("events", feats["f_events"], bn), train)
         if feats.get("f_fusion") is not None:
             out["fusion_output"] = self._cls(
-                "fusion", self._decode("fusion", feats["f_fusion"], train), train)
+                "fusion", self._decode("fusion", feats["f_fusion"], bn), train)
         if feats.get("f_img_self_res") is not None:
             # ISR rides the events decoder + events classifier
             out["img_self_res_output"] = self._cls(
-                "isr", self._decode("events", feats["f_img_self_res"], train), train)
+                "isr", self._decode("events", feats["f_img_self_res"], bn), train)
         return out

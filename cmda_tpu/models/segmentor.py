@@ -121,10 +121,14 @@ class FusionEncoderDecoder(nn.Module):
 
     def forward_logits(self, image, events, img_self_res=None,
                        mode: str = "default", train: bool = False,
+                       bn_train: bool | None = None,
                        resize_to_input: bool = True):
-        """All logit streams, optionally resized to the input resolution."""
+        """All logit streams, optionally resized to the input resolution.
+
+        ``train`` gates dropout/droppath; ``bn_train`` gates BN batch stats
+        (the EMA teacher passes train=False, bn_train=True)."""
         feats = self.extract_feat(image, events, img_self_res, mode, train)
-        out = self.decode_head(feats, train)
+        out = self.decode_head(feats, train, bn_train)
         if resize_to_input:
             size = (image.shape[1:3] if image is not None
                     else events.shape[1:3])
@@ -142,9 +146,10 @@ class FusionEncoderDecoder(nn.Module):
 
     def __call__(self, image, events, img_self_res=None,
                  mode: str = "default", output: str = "fusion",
-                 train: bool = False):
+                 train: bool = False, bn_train: bool | None = None):
         """encode_decode: one selected stream, resized to input size."""
-        out = self.forward_logits(image, events, img_self_res, mode, train)
+        out = self.forward_logits(image, events, img_self_res, mode, train,
+                                  bn_train)
         key = {"fusion": "fusion_output", "image": "image_output",
                "events": "events_output", "isr": "img_self_res_output"}[output]
         got = out[key]

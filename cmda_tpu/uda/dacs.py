@@ -1,0 +1,345 @@
+"""DACS — the CMDA self-training algorithm as ONE fused jitted train step.
+
+Behavioral contract: reference mmseg/models/uda/dacs.py:52-1099 (call stack
+in SURVEY.md §3.2). One reference iteration does, with three separate
+``.backward()`` calls and a CPU/PIL round-trip in the middle:
+  ① CycleGAN(source temporal diff) -> day "events" (no grad)   (:400-404)
+  ② EMA teacher update α=min(1-1/(t+1), 0.999)                 (:261-272)
+  ③ source supervised multi-stream step                        (:489-517)
+  ④ optional ImageNet feature-distance regularizer             (:567-576)
+  ⑤ teacher pseudo-labels on the night pair, confidence-ratio
+     scalar weight ≥0.968                                      (:654-711)
+  ⑥ ClassMix + jitter/blur; mixed-ISR recomputed from the
+     mixed image (PIL round trip in the reference)             (:713-784)
+  ⑦ mixed-domain step weighted by the pseudo-weight            (:786-860)
+
+TPU-native redesign: the whole iteration is a single pure function
+``(state, batch, rng) -> (state, logs)``: one total loss (source + mix
+[+ fdist]), one ``jax.grad``, optimizer update and EMA update inside the same
+XLA program. The events-vs-ISR coin flip (:412-421) becomes a traced select
+(one compiled graph); the mixed-ISR recompute is the batched on-device
+``image_to_isr`` (bit-matching the PIL grayscale path). Under a data-parallel
+``jax.sharding`` mesh, GSPMD inserts the gradient all-reduce automatically.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from flax.core import FrozenDict
+
+from ..config import RunConfig
+from ..models.segmentor import FusionEncoderDecoder, EncoderDecoder
+from ..models.cyclegan import ResnetGenerator
+from ..ops.augment import (
+    sample_class_half, class_mix_mask, one_mix, maybe_color_jitter_normalized,
+    maybe_gaussian_blur,
+)
+from ..ops.isr import image_to_isr
+from ..ops.normalize import denorm_image
+from ..train.optim import make_optimizer
+from .transforms import (
+    multi_stream_loss, pseudo_label_and_weight, downscale_label_ratio,
+    masked_feat_dist,
+)
+
+
+class DACSTrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    ema_params: Any
+    opt_state: Any
+    cyclegan_params: Any = None   # frozen Image Content-Extractor
+    imnet_params: Any = None      # frozen ImageNet encoder (fdist)
+
+
+def _dtype(name):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+class DACSTrainer:
+    """Builds the model bundle and the fused train step for a RunConfig.
+
+    Supported train types (reference dacs.py:83-85): the fusion family —
+    'cs2dsec_image+events_together', 'cs2dsec_image+events',
+    'cs2dz_image+raw-isr'. Image-only DAFormer UDA ('cs2dsec_image' /
+    'cs2dz_image') uses OrgDACSTrainer (see org_dacs.py).
+    """
+
+    def __init__(self, cfg: RunConfig):
+        self.cfg = cfg
+        dtype = _dtype(cfg.dtype)
+        self.model = FusionEncoderDecoder(cfg.model, dtype=dtype)
+        self.cyclegan = (ResnetGenerator(output_nc=1, n_blocks=9)
+                         if cfg.uda.use_cyclegan_day_events else None)
+        self.enable_fdist = cfg.uda.imnet_feature_dist_lambda > 0
+        self.imnet = (EncoderDecoder(cfg.model, dtype=dtype)
+                      if self.enable_fdist else None)
+        self.tx = None  # created at init_state once params exist
+
+    # ------------------------------------------------------------------
+    # state init
+    # ------------------------------------------------------------------
+    def init_state(self, rng, *, cyclegan_params=None, imnet_params=None,
+                   pretrained_variables=None) -> DACSTrainState:
+        h, w = self.cfg.data.crop_size
+        b = self.cfg.data.batch_size
+        img = jnp.zeros((b, h, w, 3), jnp.float32)
+        init_mode = "fusion_all" if self.cfg.model.fusion_isr else "default"
+        variables = self.model.init(
+            rng, img, img, img if self.cfg.model.fusion_isr else None,
+            mode=init_mode, method=self.model.forward_logits)
+        if pretrained_variables is not None:
+            variables = pretrained_variables
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        self.tx = make_optimizer(params, self.cfg.optim)
+        if self.cyclegan is not None and cyclegan_params is None:
+            cyclegan_params = self.cyclegan.init(
+                rng, jnp.zeros((1, h, w, 1)))["params"]
+        return DACSTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            ema_params=jax.tree.map(lambda x: x, params),  # teacher = copy
+            opt_state=self.tx.init(params),
+            cyclegan_params=cyclegan_params,
+            imnet_params=imnet_params,
+        )
+
+    # ------------------------------------------------------------------
+    # pieces
+    # ------------------------------------------------------------------
+    def _day_events(self, state, src):
+        """CycleGAN(mean(img_time_res)) -> 3ch day 'events' (frozen net)."""
+        if self.cyclegan is None or state.cyclegan_params is None:
+            return src["img_time_res"]
+        x = jnp.mean(src["img_time_res"], axis=-1, keepdims=True)
+        y = self.cyclegan.apply({"params": state.cyclegan_params}, x)
+        y = jax.lax.stop_gradient(y)
+        return jnp.repeat(y, 3, axis=-1)
+
+    def _choice_thres(self, step):
+        rc = self.cfg.uda.random_choice_thres
+        if isinstance(rc, str):
+            a, b = (float(s) for s in rc.split("-"))
+            frac = step.astype(jnp.float32) / self.cfg.optim.max_iters
+            return a + (b - a) * frac
+        return jnp.asarray(rc, jnp.float32)
+
+    def _teacher_logits(self, state, image, second, isr, mode):
+        """EMA forward: dropout/droppath off, BN on batch statistics
+        (reference dacs.py:458-462, 590-594); updated stats discarded."""
+        out, _ = self.model.apply(
+            {"params": state.ema_params, "batch_stats": state.batch_stats},
+            image, second, isr, mode=mode, train=False, bn_train=True,
+            mutable=["batch_stats"], method=self.model.forward_logits)
+        return jax.tree.map(
+            lambda x: jax.lax.stop_gradient(x) if x is not None else None, out,
+            is_leaf=lambda x: x is None)
+
+    def _mixed_isr(self, mixed_img, dir_idx):
+        """Recompute the ISR of the (jittered/blurred) mixed image on-device
+        (kills the reference's PIL round-trip, dacs.py:729-755)."""
+        p = self.cfg.uda.isr_params
+        static_dir = (None if self.cfg.uda.shift_type == "random"
+                      else self.cfg.uda.shift_type)
+
+        def per_image(img, idx):
+            return image_to_isr(
+                denorm_image(img),
+                val_range=p.val_range, threshold=p.threshold,
+                clip_range=p.clip_range, shift_pixel=p.shift_pixel,
+                shift_direction=static_dir,
+                direction_idx=None if static_dir else idx)
+
+        isr = jax.vmap(per_image)(mixed_img, dir_idx)
+        return jnp.repeat(isr[..., None], 3, axis=-1)
+
+    def _loss_weights(self):
+        u = self.cfg.uda
+        return dict(w_image=u.loss_weight_image, w_events=u.loss_weight_events,
+                    w_fusion=u.loss_weight_fusion, w_isr=u.loss_weight_isr)
+
+    def _fdist_loss(self, state, feats_image, day_image, day_label):
+        """ImageNet feature-distance on thing classes
+        (reference dacs.py:328-355)."""
+        u = self.cfg.uda
+        f_imnet = self.imnet.apply(
+            {"params": state.imnet_params}, day_image,
+            method=self.imnet.extract_feat)
+        f_imnet = jax.lax.stop_gradient(f_imnet[-1])
+        scale = day_label.shape[-1] // f_imnet.shape[2]
+        gt_small = downscale_label_ratio(
+            day_label, scale, u.imnet_feature_dist_scale_min_ratio,
+            self.cfg.data.num_classes)
+        fd_classes = jnp.asarray(u.imnet_feature_dist_classes)
+        mask = jnp.any(gt_small[..., None] == fd_classes, axis=-1)
+        return u.imnet_feature_dist_lambda * masked_feat_dist(
+            feats_image[-1], f_imnet, mask)
+
+    # ------------------------------------------------------------------
+    # the fused step
+    # ------------------------------------------------------------------
+    def train_step(self, state: DACSTrainState, batch: dict, base_rng):
+        """One UDA iteration. batch:
+          source: {image, img_self_res, label[, img_time_res]}
+          target: {image, isr[, events]}
+        All images normalized NHWC float32; labels int32 [B,H,W]."""
+        cfg = self.cfg
+        u = cfg.uda
+        train_type = cfg.model.train_type
+        has_events = train_type.startswith("cs2dsec")
+
+        rng = jax.random.fold_in(base_rng, state.step)
+        (k_coin, k_mix, k_jit_gate, k_jit, k_blur_gate, k_sigma, k_dir,
+         k_drop, k_dpath) = jax.random.split(rng, 9)
+
+        src, tgt = batch["source"], batch["target"]
+        day_image = src["image"]
+        day_label = src["label"]
+        day_isr = src["img_self_res"]
+        night_image = tgt["image"]
+        night_isr = tgt["isr"]
+
+        # ① day events via frozen CycleGAN (cs2dsec only)
+        day_events = self._day_events(state, src) if has_events else None
+        night_events = tgt.get("events") if has_events else None
+
+        # per-iteration augmentation draws (reference dacs.py:446-456)
+        apply_jitter = jax.random.uniform(k_jit_gate) > u.color_jitter_probability
+        apply_blur = (jax.random.uniform(k_blur_gate) > 0.5) if u.blur else jnp.asarray(False)
+        sigma = jax.random.uniform(k_sigma, minval=0.15, maxval=1.15)
+        coin = jax.random.uniform(k_coin)
+        if u.without_events:
+            use_events = jnp.asarray(False)
+        elif u.without_isd:
+            use_events = jnp.asarray(True)
+        else:
+            use_events = coin > self._choice_thres(state.step)
+        if u.isr_another_fusion:
+            raise NotImplementedError(
+                "isr_another_fusion needs a dual-fusion graph; planned")
+
+        # ② EMA teacher update BEFORE pseudo-labels (reference dacs.py:437-442):
+        # α = min(1 - 1/(t+1), α_cfg); at t=0 this copies the student.
+        alpha = jnp.minimum(
+            1.0 - 1.0 / (state.step.astype(jnp.float32) + 1.0), u.alpha)
+        ema_params = jax.tree.map(
+            lambda e, p: alpha * e + (1.0 - alpha) * p,
+            state.ema_params, state.params)
+        state = state.replace(ema_params=ema_params)
+
+        # ⑤ teacher pseudo-labels (fusion stream)
+        if train_type == "cs2dsec_image+events_together":
+            ema_second = jnp.where(use_events, night_events, night_isr)
+            ema_mode = "fusion_all" if u.fuse_both_ice_and_e else "default"
+            teacher = self._teacher_logits(
+                state, night_image, ema_second,
+                night_isr if u.fuse_both_ice_and_e else None, ema_mode)
+        elif train_type == "cs2dsec_image+events":
+            ema_second = jnp.where(use_events, night_events, night_isr)
+            teacher = self._teacher_logits(state, night_image, ema_second,
+                                           None, "default")
+        else:  # cs2dz_image+raw-isr family
+            teacher = self._teacher_logits(state, night_image, night_isr,
+                                           None, "default")
+        pseudo_label, pseudo_weight = pseudo_label_and_weight(
+            teacher["fusion_output"], threshold=u.pseudo_threshold,
+            ignore_top=u.pseudo_weight_ignore_top,
+            ignore_bottom=u.pseudo_weight_ignore_bottom)
+
+        # ⑥ ClassMix + strong transform, all on device
+        selected = sample_class_half(k_mix, day_label,
+                                     cfg.data.num_classes)
+        masks = class_mix_mask(day_label, selected, cfg.data.num_classes)
+        mixed_img = one_mix(masks, day_image, night_image)
+        mixed_img = maybe_color_jitter_normalized(
+            k_jit, mixed_img, apply_jitter, u.color_jitter_strength)
+        mixed_img = maybe_gaussian_blur(mixed_img, sigma, apply_blur)
+        mixed_lbl = jnp.where(masks, day_label, pseudo_label)
+        mixed_weight = one_mix(masks, jnp.ones_like(pseudo_weight),
+                               pseudo_weight)
+        mixed_events = (one_mix(masks, day_events, night_events)
+                        if has_events else None)
+        if u.mixed_image_to_mixed_isr:
+            dir_idx = jax.random.randint(k_dir, (mixed_img.shape[0],), 0, 4)
+            mixed_isr = self._mixed_isr(mixed_img, dir_idx)
+        else:
+            mixed_isr = one_mix(masks, day_isr, night_isr)
+
+        weights = self._loss_weights()
+        rngs = {"dropout": k_drop, "droppath": k_dpath}
+
+        def forward_train(params, bstats, image, events, isr, mode):
+            (logits, feats), updates = self.model.apply(
+                {"params": params, "batch_stats": bstats},
+                image, events, isr, mode=mode, mutable=["batch_stats"],
+                rngs=rngs, method=self.model.forward_train)
+            return logits, feats, updates["batch_stats"]
+
+        def loss_fn(params):
+            logs = {}
+            # ③ source supervised step
+            if train_type == "cs2dsec_image+events_together":
+                src_in = (day_image, day_events, day_isr)
+                src_mode = ("fusion_all" if u.fuse_both_ice_and_e else
+                            "default")
+            elif train_type == "cs2dsec_image+events":
+                second = jnp.where(use_events, day_events, day_isr)
+                src_in = (day_image, second, None)
+                src_mode = "default"
+            else:  # cs2dz raw-isr: ISR plays the events role
+                src_in = (day_image, day_isr, None)
+                src_mode = "default"
+            logits_src, feats_src, bstats1 = forward_train(
+                params, state.batch_stats, *src_in, src_mode)
+            loss_src, logs_src = multi_stream_loss(
+                logits_src, day_label, None, **weights)
+            logs.update({f"src/{k}": v for k, v in logs_src.items()})
+
+            # ⑦ mixed-domain step
+            if train_type == "cs2dsec_image+events_together":
+                mix_in = (mixed_img, mixed_events, mixed_isr)
+            elif train_type == "cs2dsec_image+events":
+                second = jnp.where(use_events, mixed_events, mixed_isr)
+                mix_in = (mixed_img, second, None)
+            else:
+                mix_in = (mixed_img, mixed_isr, None)
+            logits_mix, _, bstats2 = forward_train(
+                params, bstats1, *mix_in, src_mode)
+            loss_mix, logs_mix = multi_stream_loss(
+                logits_mix, mixed_lbl, mixed_weight, **weights)
+            logs.update({f"mix/{k}": v for k, v in logs_mix.items()})
+
+            total = loss_src + loss_mix
+            # ④ ImageNet feature distance
+            if self.enable_fdist:
+                fd = self._fdist_loss(state, feats_src["f_image"],
+                                      day_image, day_label)
+                logs["src/loss_imnet_feat_dist"] = fd
+                total = total + fd
+            logs["loss"] = total
+            return total, (bstats2, logs)
+
+        (loss, (new_bstats, logs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+        new_params = jax.tree.map(lambda p, up: p + up, state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_bstats,
+            opt_state=new_opt_state)
+        logs["pseudo_weight"] = jnp.mean(pseudo_weight)
+        logs["use_events"] = use_events.astype(jnp.float32)
+        return new_state, logs
+
+    def jit_train_step(self, donate: bool = True):
+        return jax.jit(self.train_step,
+                       donate_argnums=(0,) if donate else ())

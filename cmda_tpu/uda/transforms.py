@@ -1,0 +1,103 @@
+"""UDA-specific array transforms: the multi-stream loss, pseudo-label
+weighting, and label downscaling for the ImageNet feature-distance loss.
+
+Behavioral contracts:
+  * ``multi_stream_loss`` == BaseDecodeHeadFusion.forward_train's weighted
+    sum (reference mmseg/models/decode_heads/decode_head.py:509-528):
+    fusion*w_f + image*w_i, plus isr*w_isr + events*(w_e/2) when the ISR
+    stream is active, else events*w_e.  Logits are bilinearly resized to
+    label resolution first (:592-596); acc comes from the fusion stream
+    (image stream if no fusion).
+  * ``pseudo_label_and_weight`` == reference mmseg/models/uda/dacs.py:701-711
+    (scalar confidence-ratio weight, optional top/bottom row zeroing).
+  * ``downscale_label_ratio`` == reference mmseg/utils/utils.py:18-40
+    (majority-pool downsample with purity threshold).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.losses import weighted_cross_entropy, pixel_accuracy
+from ..ops.resize import resize_bilinear
+
+
+def multi_stream_loss(logits: dict, label, seg_weight, *, w_image: float,
+                      w_events: float, w_fusion: float, w_isr: float,
+                      ignore_index: int = 255):
+    """logits: dict of stride-4 NHWC streams (None where absent);
+    label [B,H,W] int; seg_weight [B,H,W] or None.  Returns (loss, logs)."""
+    size = label.shape[1:3]
+
+    def stream_ce(x):
+        return weighted_cross_entropy(
+            resize_bilinear(x, size), label, seg_weight,
+            ignore_index=ignore_index)
+
+    l_image = stream_ce(logits["image_output"])
+    loss = l_image * w_image
+    logs = {"loss_image": l_image}
+    if logits.get("fusion_output") is not None:
+        l_fusion = stream_ce(logits["fusion_output"])
+        loss = loss + l_fusion * w_fusion
+        logs["loss_fusion"] = l_fusion
+        logs["acc_seg"] = pixel_accuracy(
+            resize_bilinear(logits["fusion_output"], size), label)
+    else:
+        logs["acc_seg"] = pixel_accuracy(
+            resize_bilinear(logits["image_output"], size), label)
+    if logits.get("events_output") is not None:
+        l_events = stream_ce(logits["events_output"])
+        logs["loss_events"] = l_events
+        if logits.get("img_self_res_output") is not None:
+            l_isr = stream_ce(logits["img_self_res_output"])
+            logs["loss_isr"] = l_isr
+            loss = loss + l_isr * w_isr + l_events * (w_events / 2.0)
+        else:
+            loss = loss + l_events * w_events
+    logs["loss_seg"] = loss
+    return loss, logs
+
+
+def pseudo_label_and_weight(fusion_logits, *, threshold: float = 0.968,
+                            ignore_top: int = 0, ignore_bottom: int = 0):
+    """Teacher fusion logits (input-res NHWC) -> (pseudo_label, weight).
+
+    weight = scalar fraction of pixels with max-softmax >= threshold,
+    broadcast to [B, H, W], with optional top/bottom rows zeroed."""
+    softmax = jax.nn.softmax(fusion_logits.astype(jnp.float32), axis=-1)
+    prob = jnp.max(softmax, axis=-1)
+    label = jnp.argmax(softmax, axis=-1).astype(jnp.int32)
+    ratio = jnp.mean((prob >= threshold).astype(jnp.float32))
+    weight = jnp.full(prob.shape, 1.0, jnp.float32) * ratio
+    if ignore_top > 0:
+        weight = weight.at[:, :ignore_top, :].set(0.0)
+    if ignore_bottom > 0:
+        weight = weight.at[:, -ignore_bottom:, :].set(0.0)
+    return label, weight
+
+
+def downscale_label_ratio(gt, scale_factor: int, min_ratio: float,
+                          n_classes: int, ignore_index: int = 255):
+    """Majority-pool downsample [B,H,W] -> [B,H/s,W/s] with purity cutoff."""
+    assert scale_factor > 1
+    ignore_sub = n_classes
+    out = jnp.where(gt == ignore_index, ignore_sub, gt)
+    onehot = jax.nn.one_hot(out, n_classes + 1, dtype=jnp.float32)
+    b, h, w, c = onehot.shape
+    s = scale_factor
+    pooled = onehot.reshape(b, h // s, s, w // s, s, c).mean(axis=(2, 4))
+    ratio = jnp.max(pooled, axis=-1)
+    lbl = jnp.argmax(pooled, axis=-1)
+    lbl = jnp.where(lbl == ignore_sub, ignore_index, lbl)
+    lbl = jnp.where(ratio < min_ratio, ignore_index, lbl)
+    return lbl.astype(jnp.int32)
+
+
+def masked_feat_dist(f_student, f_imnet, mask):
+    """Mean L2 norm over channel of the feature difference, over masked
+    positions (reference dacs.py:317-326). NHWC features, mask [B,h,w]."""
+    diff = f_student.astype(jnp.float32) - f_imnet.astype(jnp.float32)
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    m = mask.astype(jnp.float32)
+    return jnp.sum(dist * m) / jnp.maximum(jnp.sum(m), 1.0)
