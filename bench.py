@@ -1,0 +1,89 @@
+"""Benchmark: fused image+event UDA training throughput on one TPU chip.
+
+Measures the FULL DACS train step (teacher forward + source & mixed
+multi-stream forwards + backward + AdamW + EMA) on the flagship MiT-b5
+FusionEncoderDecoder at 512x512 — the reference's training workload
+(batch 2, configs/fusion/cs2dsec_image+events_together_b5.py:14) — and
+prints ONE JSON line.
+
+vs_baseline: the reference publishes no throughput (BASELINE.md). We anchor
+against an ESTIMATE of the PyTorch reference on its published 1-GPU setup:
+CMDA trains 40k iters x batch 2; DAFormer-class mmseg stacks run ~1.1 s/iter
+on a 3090-class GPU and CMDA adds a second MiT-b5 + fusion + ISR stream
+(~2.3 forward-equivalents vs 1), giving ~0.45 it/s -> ~0.9 samples/s.
+REFERENCE_GPU_SPS below records that assumption explicitly; replace with a
+measured number when GPU hardware is available.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_GPU_SPS = 0.9  # estimated PyTorch reference samples/sec (see above)
+
+
+def make_batch(b, h, w):
+    g = np.random.default_rng(0)
+
+    def img():
+        return g.normal(size=(b, h, w, 3)).astype(np.float32)
+
+    label = g.integers(0, 19, size=(b, h, w)).astype(np.int32)
+    return {
+        "source": {"image": img(), "img_self_res": img(),
+                   "img_time_res": img(), "label": label},
+        "target": {"image": img(), "isr": img(), "events": img()},
+    }
+
+
+def run(batch_size: int, steps: int = 10, warmup: int = 3):
+    import jax
+    import jax.numpy as jnp
+    from cmda_tpu.config import cs2dsec_image_events_b5, replace
+    from cmda_tpu.uda.dacs import DACSTrainer
+
+    cfg = cs2dsec_image_events_b5()
+    cfg = replace(cfg, dtype="bfloat16",
+                  data=replace(cfg.data, batch_size=batch_size),
+                  uda=replace(cfg.uda, use_cyclegan_day_events=True))
+    trainer = DACSTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    step = trainer.jit_train_step(donate=True)
+    batch = jax.tree.map(jnp.asarray, make_batch(batch_size, 512, 512))
+    rng = jax.random.PRNGKey(1)
+
+    for _ in range(warmup):
+        state, logs = step(state, batch, rng)
+    jax.block_until_ready(logs["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, logs = step(state, batch, rng)
+    jax.block_until_ready(logs["loss"])
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt
+
+
+def main():
+    sps = None
+    for bs in (8, 4, 2):
+        try:
+            sps = run(bs)
+            batch_size = bs
+            break
+        except Exception as e:  # OOM fallback to smaller batch
+            err = e
+            continue
+    if sps is None:
+        raise err
+    print(json.dumps({
+        "metric": "fused_uda_train_samples_per_sec_per_chip",
+        "value": round(sps, 3),
+        "unit": f"samples/s (MiT-b5 fusion UDA step, 512x512, bf16, batch {batch_size})",
+        "vs_baseline": round(sps / REFERENCE_GPU_SPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

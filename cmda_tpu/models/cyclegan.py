@@ -44,13 +44,14 @@ class TorchConvTranspose(nn.Module):
     def __call__(self, x):
         k, s, p, op = (self.kernel_size, self.stride, self.padding,
                        self.output_padding)
+        # layout (k, k, out, in) + transpose_kernel=True == torch ConvTranspose2d
         kernel = self.param(
             "kernel", nn.initializers.normal(0.02),
-            (k, k, self.features, x.shape[-1]))  # HWOI to transpose below
+            (k, k, self.features, x.shape[-1]))
         lo = k - 1 - p
         hi = k - 1 - p + op
         y = jax.lax.conv_transpose(
-            x, jnp.transpose(kernel, (0, 1, 3, 2)),
+            x, kernel,
             strides=(s, s), padding=((lo, hi), (lo, hi)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             transpose_kernel=True)
