@@ -1,0 +1,83 @@
+"""Synthetic source/target datasets with the real datasets' interfaces.
+
+Used by tests, the bench harness, and end-to-end pipeline smoke runs when the
+Cityscapes/DSEC/DarkZurich corpora are not mounted. Shapes, dtypes, value
+ranges, and output keys match the real loaders (normalized images, [-1, 1]
+ISR/events, int32 labels with 255 ignore)."""
+from __future__ import annotations
+
+import numpy as np
+
+
+class SyntheticSource:
+    """CityscapesIC stand-in: image / img_time_res / img_self_res / label."""
+
+    def __init__(self, *, crop_size=(512, 512), num_classes: int = 19,
+                 length: int = 64, seed: int = 0, with_time_res: bool = True):
+        self.h, self.w = crop_size[1], crop_size[0]
+        self.num_classes = num_classes
+        self.length = length
+        self.seed = seed
+        self.with_time_res = with_time_res
+        self.files = [f"synthetic_{i:06d}_leftImg8bit.png" for i in range(length)]
+
+    def __len__(self):
+        return self.length
+
+    def load(self, idx, crop_xy=None, flip=None):
+        g = np.random.default_rng(self.seed * 100003 + idx)
+        img = g.normal(size=(self.h, self.w, 3)).astype(np.float32)
+        label = g.integers(0, self.num_classes,
+                           size=(self.h, self.w)).astype(np.int32)
+        label[g.random(size=label.shape) < 0.05] = 255
+        out = {
+            "image": img,
+            "img_self_res": np.clip(
+                g.normal(size=(self.h, self.w, 1)), -1, 1
+            ).astype(np.float32).repeat(3, axis=-1),
+            "label": label,
+        }
+        if self.with_time_res:
+            out["img_time_res"] = np.clip(
+                g.normal(size=(self.h, self.w, 1)), -1, 1
+            ).astype(np.float32).repeat(3, axis=-1)
+        return out
+
+    def __getitem__(self, idx):
+        return self.load(idx)
+
+
+class SyntheticTarget:
+    """DSEC/DarkZurich stand-in: image / events / isr (+ label in test)."""
+
+    def __init__(self, *, crop_size=(512, 512), length: int = 64,
+                 seed: int = 1, with_events: bool = True,
+                 test_mode: bool = False, num_classes: int = 19):
+        self.h, self.w = crop_size[1], crop_size[0]
+        self.length = length
+        self.seed = seed
+        self.with_events = with_events
+        self.test_mode = test_mode
+        self.num_classes = num_classes
+
+    def __len__(self):
+        return self.length
+
+    def load(self, idx):
+        g = np.random.default_rng(self.seed * 100003 + idx)
+        out = {
+            "image": g.normal(size=(self.h, self.w, 3)).astype(np.float32),
+            "isr": np.clip(g.normal(size=(self.h, self.w, 1)), -1, 1
+                           ).astype(np.float32).repeat(3, axis=-1),
+        }
+        if self.with_events:
+            ev = np.clip(g.normal(size=(self.h, self.w, 1)), -1, 1)
+            ev[np.abs(ev) < 0.8] = 0.0
+            out["events"] = ev.astype(np.float32).repeat(3, axis=-1)
+        if self.test_mode:
+            out["label"] = g.integers(0, self.num_classes,
+                                      size=(self.h, self.w)).astype(np.int32)
+        return out
+
+    def __getitem__(self, idx):
+        return self.load(idx)

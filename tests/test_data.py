@@ -1,0 +1,221 @@
+"""Data-layer tests: host/device ISR & voxel equality, dataset geometry on
+fabricated corpora, RCS, pairing, loader."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from cmda_tpu.config import IsrParams
+from cmda_tpu.data.host_isr import host_image_change, normalize_image
+from cmda_tpu.data.dsec import (
+    DSECDataset, host_voxel_grid, host_events_norm, _bilinear_resize_np)
+from cmda_tpu.data.cityscapes_ic import CityscapesICDataset
+from cmda_tpu.data.dark_zurich import DarkZurichDataset
+from cmda_tpu.data.uda import UDAPairDataset, rcs_class_probs
+from cmda_tpu.data.loader import PrefetchLoader, collate
+from cmda_tpu.data.synthetic import SyntheticSource, SyntheticTarget
+from cmda_tpu.ops.isr import image_change_from_gray
+from cmda_tpu.ops.voxel import events_to_voxel_grid, events_norm
+
+
+ISR = IsrParams(val_range=(0.01, 1.01), threshold=0.005, clip_range=0.1,
+                shift_pixel=1)
+
+
+def test_host_isr_matches_device_isr():
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    pil = Image.fromarray(rgb)
+    host = host_image_change(pil, val_range=ISR.val_range,
+                             threshold=ISR.threshold,
+                             clip_range=ISR.clip_range, shift_pixel=1,
+                             shift_direction="rightdown")
+    gray = np.array(pil.convert("L"), np.float32)
+    dev = image_change_from_gray(jnp.asarray(gray), val_range=ISR.val_range,
+                                 threshold=ISR.threshold,
+                                 clip_range=ISR.clip_range, shift_pixel=1,
+                                 shift_direction="rightdown")
+    np.testing.assert_allclose(host, np.asarray(dev), atol=2e-3)
+
+
+def test_host_voxel_matches_device():
+    rng = np.random.default_rng(1)
+    n = 400
+    t = np.sort(rng.random(n)).astype(np.float32)
+    x = (rng.random(n) * 63).astype(np.float32)
+    y = (rng.random(n) * 47).astype(np.float32)
+    p = rng.integers(0, 2, n).astype(np.float32)
+    host = host_voxel_grid(t, x, y, p, 64, 48, 2)
+    dev = events_to_voxel_grid(jnp.asarray(t), jnp.asarray(x), jnp.asarray(y),
+                               jnp.asarray(p), jnp.asarray(n),
+                               width=64, height=48, num_bins=2)
+    np.testing.assert_allclose(host, np.asarray(dev), atol=1e-3)
+    hn = host_events_norm(host, 0.5)
+    dn = events_norm(jnp.asarray(host), 0.5)
+    np.testing.assert_allclose(hn, np.asarray(dn), atol=1e-4)
+
+
+# ---------------- fabricated corpora ----------------
+
+@pytest.fixture(scope="module")
+def cityscapes_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cs")
+    g = np.random.default_rng(0)
+    city = root / "leftImg8bit" / "train" / "zurich"
+    ic = root / "leftImg8bit_IC1" / "train" / "zurich"
+    gt = root / "gtFine" / "train" / "zurich"
+    for d in (city, ic, gt):
+        d.mkdir(parents=True)
+    for i in range(2):
+        name = f"zurich_{i:06d}_000019_leftImg8bit.png"
+        Image.fromarray(g.integers(0, 255, (128, 256, 3), np.uint8).astype(np.uint8)).save(city / name)
+        Image.fromarray(g.integers(0, 255, (128, 256), np.uint8).astype(np.uint8)).save(
+            ic / (name.replace("leftImg8bit", "leftImg8bit_IC1")[:-8] + ".png"))
+        lbl = g.integers(0, 19, (128, 256), np.uint8).astype(np.uint8)
+        Image.fromarray(lbl).save(
+            gt / (name.replace("leftImg8bit", "gtFine")[:-4] + "_labelTrainIds.png"))
+    return str(root) + "/"
+
+
+def test_cityscapes_ic_dataset(cityscapes_root):
+    ds = CityscapesICDataset(
+        cityscapes_root, image_resize_size=(256, 128),
+        image_crop_size=(96, 96), isr_params=ISR, shift_type="random")
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["image"].shape == (96, 96, 3)
+    assert s["img_time_res"].shape == (96, 96, 3)
+    assert s["img_self_res"].shape == (96, 96, 3)
+    assert s["label"].shape == (96, 96) and s["label"].dtype == np.int32
+    assert np.abs(s["img_self_res"]).max() <= 1.0
+
+
+@pytest.fixture(scope="module")
+def dsec_root(tmp_path_factory):
+    import h5py
+    root = tmp_path_factory.mktemp("dsec")
+    seq = root / "zurich_city_09_a"
+    img_dir = seq / "images" / "left" / "rectified"
+    warp_dir = seq / "warp_images"
+    ev_dir = seq / "events" / "left"
+    lbl_dir = seq / "labels"
+    for d in (img_dir, warp_dir, ev_dir, lbl_dir):
+        d.mkdir(parents=True)
+    g = np.random.default_rng(0)
+    n_events = 5000
+    with h5py.File(ev_dir / "events.h5", "w") as f:
+        f["events/t"] = np.sort(g.integers(0, 10 ** 6, n_events)).astype(np.int64)
+        f["events/x"] = g.integers(0, 640, n_events).astype(np.uint16)
+        f["events/y"] = g.integers(0, 480, n_events).astype(np.uint16)
+        f["events/p"] = g.integers(0, 2, n_events).astype(np.uint8)
+    with h5py.File(ev_dir / "rectify_map.h5", "w") as f:
+        yy, xx = np.mgrid[0:480, 0:640]
+        f["rectify_map"] = np.stack([xx, yy], axis=-1).astype(np.float32)
+    for i in range(3):
+        arr = g.integers(0, 255, (480, 640, 3), np.uint8).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{i:06d}.png")
+        Image.fromarray(arr).save(warp_dir / f"{i:06d}.png")
+        lbl = g.integers(0, 19, (480, 640), np.uint8).astype(np.uint8)
+        Image.fromarray(lbl).save(
+            lbl_dir / f"zurich_city_09_a_{i:06d}_grey_gtFine_labelTrainIds.png")
+    # lives under images/ (reference dsec.py:292 path construction)
+    np.savetxt(seq / "images" / "images_to_events_index.txt",
+               np.asarray([100, 2500, 4900]), fmt="%d")
+    txt = root / "night_dataset_warp.txt"
+    rows = [f"{img_dir}/{i:06d}.png {0}" for i in (1, 2)]
+    txt.write_text("\n".join(rows))
+    return str(txt)
+
+
+def test_dsec_dataset_train(dsec_root):
+    ds = DSECDataset(dsec_root, events_bins=1, crop_size=(400, 400),
+                     after_crop_resize_size=(512, 512), isr_params=ISR,
+                     outputs=("image", "events", "isr"))
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["image"].shape == (512, 512, 3)
+    assert s["events"].shape == (512, 512, 3)
+    assert s["isr"].shape == (512, 512, 3)
+    assert np.abs(s["events"]).max() <= 1.0 + 1e-6
+
+
+def test_dsec_dataset_test_mode(dsec_root):
+    ds = DSECDataset(dsec_root, events_bins=1, isr_params=ISR, test_mode=True,
+                     outputs=("image", "events", "label"))
+    s = ds[1]
+    assert s["image"].shape == (440, 640, 3)
+    assert s["events"].shape == (440, 640, 3)
+    assert s["label"].shape == (440, 640)
+
+
+@pytest.fixture(scope="module")
+def darkzurich_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dz")
+    g = np.random.default_rng(0)
+    night = root / "rgb_anon" / "train" / "night" / "GOPR0351"
+    val = root / "rgb_anon" / "val" / "night" / "GOPR0356"
+    gt = root / "gt" / "val" / "night" / "GOPR0356"
+    for d in (night, val, gt):
+        d.mkdir(parents=True)
+    for i in range(2):
+        Image.fromarray(g.integers(0, 255, (540, 960, 3), np.uint8).astype(np.uint8)).save(
+            night / f"GOPR0351_frame_{i:06d}_rgb_anon.png")
+    Image.fromarray(g.integers(0, 255, (1080, 1920, 3), np.uint8).astype(np.uint8)).save(
+        val / "GOPR0356_frame_000001_rgb_anon.png")
+    Image.fromarray(g.integers(0, 19, (1080, 1920), np.uint8).astype(np.uint8)).save(
+        gt / "GOPR0356_frame_000001_gt_labelTrainIds.png")
+    return str(root) + "/"
+
+
+def test_darkzurich_train_and_val(darkzurich_root):
+    isr = IsrParams(val_range=(1, 100), threshold=0.01, clip_range=0.1,
+                    shift_pixel=3)
+    tr = DarkZurichDataset(darkzurich_root, split="train", isr_params=isr,
+                           outputs=("image", "isr"))
+    s = tr[0]
+    assert s["image"].shape == (512, 512, 3) and s["isr"].shape == (512, 512, 3)
+    va = DarkZurichDataset(darkzurich_root, split="val", isr_params=isr,
+                           outputs=("image", "isr", "label"))
+    v = va[0]
+    assert v["image"].shape == (540, 960, 3)
+    assert v["label"].shape == (540, 960)
+
+
+# ---------------- RCS + pairing + loader ----------------
+
+def test_rcs_class_probs():
+    stats = {"a.png": {"0": 1000, "1": 10}, "b.png": {"1": 10}}
+    classes, probs = rcs_class_probs(stats, temperature=0.01)
+    assert list(classes) == [0, 1]
+    assert probs[1] > probs[0]  # rare class upweighted
+    assert abs(probs.sum() - 1.0) < 1e-9
+
+
+def test_uda_pair_and_loader():
+    src = SyntheticSource(crop_size=(64, 64), length=8)
+    tgt = SyntheticTarget(crop_size=(64, 64), length=8)
+    pair = UDAPairDataset(src, tgt, seed=0)
+    sample = pair[0]
+    assert set(sample) == {"source", "target"}
+    loader = PrefetchLoader(pair, batch_size=2, num_workers=2, prefetch=2)
+    batch = next(loader)
+    assert batch["source"]["image"].shape == (2, 64, 64, 3)
+    assert batch["target"]["events"].shape == (2, 64, 64, 3)
+    loader.close()
+
+
+def test_rcs_pairing_with_synthetic():
+    src = SyntheticSource(crop_size=(64, 64), length=4)
+    tgt = SyntheticTarget(crop_size=(64, 64), length=4)
+    swc = {"5": [[f"synthetic_{i:06d}_gtFine_labelTrainIds.png", 5000]
+                 for i in range(4)]}
+    stats = {f"synthetic_{i:06d}": {"5": 5000, "0": 100000} for i in range(4)}
+    pair = UDAPairDataset(src, tgt, rcs=True, samples_with_class=swc,
+                          sample_class_stats=stats, min_pixels=10,
+                          min_crop_ratio=0.5, seed=0)
+    s = pair[0]
+    assert "label" in s["source"]
