@@ -39,6 +39,7 @@ def make_batch(b, h, w):
 
 
 def run(batch_size: int, steps: int = 10, warmup: int = 3):
+    import sys
     import jax
     import jax.numpy as jnp
     from cmda_tpu.config import cs2dsec_image_events_b5, replace
@@ -54,9 +55,13 @@ def run(batch_size: int, steps: int = 10, warmup: int = 3):
     batch = jax.tree.map(jnp.asarray, make_batch(batch_size, 512, 512))
     rng = jax.random.PRNGKey(1)
 
+    print(f"[bench] batch={batch_size}: compiling...", file=sys.stderr, flush=True)
+    t_c = time.perf_counter()
     for _ in range(warmup):
         state, logs = step(state, batch, rng)
     jax.block_until_ready(logs["loss"])
+    print(f"[bench] warmup+compile {time.perf_counter()-t_c:.1f}s",
+          file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for _ in range(steps):
         state, logs = step(state, batch, rng)
@@ -66,13 +71,16 @@ def run(batch_size: int, steps: int = 10, warmup: int = 3):
 
 
 def main():
+    import sys
     sps = None
-    for bs in (8, 4, 2):
+    for bs in (4, 2):
         try:
             sps = run(bs)
             batch_size = bs
             break
         except Exception as e:  # OOM fallback to smaller batch
+            print(f"[bench] batch {bs} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
             err = e
             continue
     if sps is None:

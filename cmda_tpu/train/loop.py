@@ -1,0 +1,195 @@
+"""Training loop + periodic evaluation + checkpointing.
+
+Replaces mmcv's IterBasedRunner + hook stack (reference mmseg/apis/train.py:
+39-131): an explicit iteration loop around the fused DACS step with
+  * JSON-lines logging (the reference's .log.json TextLoggerHook output),
+  * periodic evaluation every ``eval_interval`` iters with the reference's
+    directory-renaming convention (``<iter>_<mIoU>``, eval_hooks.py:43-60),
+  * orbax checkpoints of {params, ema_params (teacher), batch_stats,
+    opt_state, step} (mirrors the reference's single iter_40000.pth with
+    student + ema_model + optimizer, SURVEY §5.4),
+  * a source snapshot (code.tar.gz) + environment capture at launch
+    (reference tools/train.py:111, mmseg/utils/collect_env.py).
+"""
+from __future__ import annotations
+
+import json
+import os
+import platform
+import tarfile
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import RunConfig
+from ..data.loader import PrefetchLoader, collate
+from ..ops.metrics import intersect_and_union, eval_metrics, summarize_miou
+from ..ops.resize import resize_bilinear
+from ..uda.dacs import DACSTrainer, DACSTrainState
+
+CLASS_NAMES = ("road", "sidewalk", "building", "wall", "fence", "pole",
+               "traffic light", "traffic sign", "vegetation", "terrain",
+               "sky", "person", "rider", "car", "truck", "bus", "train",
+               "motorcycle", "bicycle")
+
+
+def collect_env() -> dict:
+    return {
+        "python": platform.python_version(),
+        "platform": platform.platform(),
+        "jax": jax.__version__,
+        "devices": [str(d) for d in jax.devices()],
+        "default_backend": jax.default_backend(),
+    }
+
+
+def snapshot_code(work_dir: str, repo_root: str | None = None):
+    repo_root = repo_root or os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out = os.path.join(work_dir, "code.tar.gz")
+    with tarfile.open(out, "w:gz") as tar:
+        for sub in ("cmda_tpu", "tools", "tests", "bench.py"):
+            path = os.path.join(repo_root, sub)
+            if os.path.exists(path):
+                tar.add(path, arcname=sub)
+    return out
+
+
+def save_checkpoint(state: DACSTrainState, path: str):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = {
+        "step": state.step, "params": state.params,
+        "ema_params": state.ema_params, "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def load_checkpoint(state: DACSTrainState, path: str) -> DACSTrainState:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = {
+        "step": state.step, "params": state.params,
+        "ema_params": state.ema_params, "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    restored = ckptr.restore(os.path.abspath(path), item=tree)
+    return state.replace(**restored)
+
+
+def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
+                    output: str = "fusion", use_teacher: bool = False,
+                    num_classes: int = 19, max_samples: int | None = None,
+                    batch_size: int = 1) -> dict:
+    """Whole-image inference over a test dataset -> mIoU metrics.
+
+    Mirrors single_gpu_test_events + dataset.evaluate (reference
+    mmseg/apis/test.py:109-213, mmseg/datasets/dsec.py:387-497): fusion
+    stream logits at input resolution, argmax, 19-class histograms; the
+    18-class summary applies the x19/18 rule."""
+    params = state.ema_params if use_teacher else state.params
+    variables = {"params": params, "batch_stats": state.batch_stats}
+    model = trainer.model
+
+    @jax.jit
+    def infer(image, events):
+        return jnp.argmax(
+            model.apply(variables, image, events, None, mode="default",
+                        output=output), axis=-1)
+
+    @jax.jit
+    def infer_image_only(image):
+        return jnp.argmax(
+            model.apply(variables, image, None, None, mode="no_fusion",
+                        output="image"), axis=-1)
+
+    totals = [np.zeros(num_classes, np.float64) for _ in range(4)]
+    n = len(dataset) if max_samples is None else min(len(dataset), max_samples)
+    for start in range(0, n, batch_size):
+        idxs = range(start, min(start + batch_size, n))
+        samples = [dataset[i] for i in idxs]
+        batch = collate(samples)
+        image = jnp.asarray(batch["image"])
+        second = batch.get("events", batch.get("isr"))
+        if second is not None:
+            pred = infer(image, jnp.asarray(second))
+        else:
+            pred = infer_image_only(image)
+        pred = np.asarray(pred)
+        for j, s in enumerate(samples):
+            res = intersect_and_union(pred[j], s["label"], num_classes)
+            for k in range(4):
+                totals[k] += res[k]
+    ret = eval_metrics(*totals)
+    summary = summarize_miou(ret, valid_classes=18)
+    summary["per_class_iou"] = {
+        CLASS_NAMES[i]: float(ret["IoU"][i]) for i in range(num_classes)}
+    return summary
+
+
+class TrainLoop:
+    def __init__(self, cfg: RunConfig, *, dataset, val_dataset=None,
+                 work_dir: str | None = None, num_workers: int | None = None):
+        self.cfg = cfg
+        self.trainer = DACSTrainer(cfg)
+        self.dataset = dataset
+        self.val_dataset = val_dataset
+        ts = time.strftime("%Y%m%d_%H%M%S")
+        self.work_dir = work_dir or os.path.join(cfg.work_dir,
+                                                 f"{ts}_{cfg.name}")
+        os.makedirs(self.work_dir, exist_ok=True)
+        self.log_path = os.path.join(self.work_dir, f"{ts}.log.json")
+        self._log_file = open(self.log_path, "a")
+        self.loader = PrefetchLoader(dataset, cfg.data.batch_size,
+                                     num_workers=num_workers or cfg.data.workers,
+                                     seed=cfg.seed)
+
+    def log(self, record: dict):
+        self._log_file.write(json.dumps(record) + "\n")
+        self._log_file.flush()
+
+    def run(self, max_iters: int | None = None, state=None):
+        cfg = self.cfg
+        max_iters = max_iters or cfg.optim.max_iters
+        snapshot_code(self.work_dir)
+        self.log({"env": collect_env(), "config": cfg.name,
+                  "max_iters": max_iters})
+        rng = jax.random.PRNGKey(cfg.seed)
+        if state is None:
+            state = self.trainer.init_state(rng)
+        step_fn = self.trainer.jit_train_step(donate=True)
+        base_rng = jax.random.fold_in(rng, 1)
+
+        t_start = time.perf_counter()
+        t_last = t_start
+        for it in range(int(state.step), max_iters):
+            t_data = time.perf_counter()
+            batch = jax.tree.map(jnp.asarray, next(self.loader))
+            data_time = time.perf_counter() - t_data
+            state, logs = step_fn(state, batch, base_rng)
+            if (it + 1) % cfg.log_interval == 0 or it == 0:
+                jax.block_until_ready(logs["loss"])
+                now = time.perf_counter()
+                rec = {k: float(v) for k, v in logs.items()}
+                rec.update(iter=it + 1,
+                           time=(now - t_last) / cfg.log_interval,
+                           data_time=data_time)
+                t_last = now
+                self.log(rec)
+            if self.val_dataset is not None and (it + 1) % cfg.eval_interval == 0:
+                summary = evaluate_fusion(self.trainer, state,
+                                          self.val_dataset,
+                                          num_classes=cfg.data.num_classes)
+                self.log({"iter": it + 1, "eval": summary})
+                eval_dir = os.path.join(
+                    self.work_dir,
+                    f"test_results_{it + 1}_{summary['mIoU'] * 100:.2f}")
+                os.makedirs(eval_dir, exist_ok=True)
+            if (it + 1) % cfg.checkpoint_interval == 0 or (it + 1) == max_iters:
+                save_checkpoint(state, os.path.join(
+                    self.work_dir, f"iter_{it + 1}"))
+        self.loader.close()
+        return state

@@ -106,7 +106,7 @@ class DACSTrainer:
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=batch_stats,
-            ema_params=jax.tree.map(lambda x: x, params),  # teacher = copy
+            ema_params=jax.tree.map(lambda x: x.copy(), params),  # teacher = real copy (donation-safe)
             opt_state=self.tx.init(params),
             cyclegan_params=cyclegan_params,
             imnet_params=imnet_params,

@@ -1,0 +1,119 @@
+"""Test / prediction CLI (replaces reference tools/test.py + my_test.py).
+
+Evaluates a checkpoint on the target test split (fusion stream mIoU with the
+18-class conversion for DSEC) and optionally exports DarkZurich
+evaluation-server submission PNGs (labelTrainIds at 1920x1080,
+reference tools/test.py:198-220).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="cmda_tpu tester")
+    p.add_argument("--config", default="cs2dsec",
+                   choices=["cs2dsec", "cs2dz", "tiny"])
+    p.add_argument("--checkpoint", required=False, default=None)
+    p.add_argument("--target-txt", default=None)
+    p.add_argument("--target-root", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--output-type", default="fusion",
+                   choices=["fusion", "image", "events"])
+    p.add_argument("--use-teacher", action="store_true",
+                   help="evaluate the EMA teacher weights")
+    p.add_argument("--show-dir", default=None)
+    p.add_argument("--submit-to-website", action="store_true")
+    p.add_argument("--max-samples", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import numpy as np
+    from cmda_tpu import config as C
+    from cmda_tpu.train.loop import evaluate_fusion, load_checkpoint
+    from cmda_tpu.uda.dacs import DACSTrainer
+
+    cfg = {"cs2dsec": C.cs2dsec_image_events_b5,
+           "cs2dz": C.cs2dz_image_rawisr_b5,
+           "tiny": C.tiny_test_config}[args.config]()
+    trainer = DACSTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
+    if args.checkpoint:
+        state = load_checkpoint(state, args.checkpoint)
+
+    if args.synthetic:
+        from cmda_tpu.data.synthetic import SyntheticTarget
+        dataset = SyntheticTarget(crop_size=cfg.data.crop_size, length=8,
+                                  test_mode=True,
+                                  with_events=cfg.model.train_type.startswith("cs2dsec"))
+    elif cfg.data.target == "dsec":
+        from cmda_tpu.data.dsec import DSECDataset
+        dataset = DSECDataset(args.target_txt,
+                              events_bins=cfg.data.events_bins,
+                              isr_params=cfg.data.target_isr, test_mode=True,
+                              outputs=("image", "events", "label"))
+    else:
+        from cmda_tpu.data.dark_zurich import DarkZurichDataset
+        split = "test" if args.submit_to_website else "val"
+        outputs = ("image", "isr") if args.submit_to_website else \
+            ("image", "isr", "label")
+        dataset = DarkZurichDataset(args.target_root, split=split,
+                                    isr_params=cfg.data.target_isr,
+                                    outputs=outputs)
+
+    if args.submit_to_website:
+        export_submission(trainer, state, dataset, args)
+        return
+
+    summary = evaluate_fusion(trainer, state, dataset,
+                              output=args.output_type,
+                              use_teacher=args.use_teacher,
+                              num_classes=cfg.data.num_classes,
+                              max_samples=args.max_samples)
+    print(json.dumps(summary, indent=2))
+    if args.show_dir:
+        os.rename_dir = f"{args.show_dir}_{summary['mIoU'] * 100:.2f}"
+
+
+def export_submission(trainer, state, dataset, args):
+    """DarkZurich server format: labelTrainIds PNG at 1920x1080."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    out_dir = args.show_dir or "submission"
+    os.makedirs(out_dir, exist_ok=True)
+    variables = {"params": state.ema_params if args.use_teacher else state.params,
+                 "batch_stats": state.batch_stats}
+    model = trainer.model
+
+    @jax.jit
+    def infer(image, second):
+        return jnp.argmax(model.apply(variables, image, second, None,
+                                      mode="default", output="fusion"), axis=-1)
+
+    n = len(dataset) if args.max_samples is None else min(len(dataset),
+                                                          args.max_samples)
+    for i in range(n):
+        s = dataset[i]
+        pred = infer(jnp.asarray(s["image"])[None],
+                     jnp.asarray(s["isr"])[None])
+        pred = np.asarray(pred)[0].astype(np.uint8)
+        img = Image.fromarray(pred).resize((1920, 1080), Image.NEAREST)
+        name = dataset.files[i].split("/")[-1].replace("_rgb_anon.png",
+                                                       "_labelTrainIds.png")
+        img.save(os.path.join(out_dir, name))
+    print(json.dumps({"submitted": n, "dir": out_dir}))
+
+
+if __name__ == "__main__":
+    main()
