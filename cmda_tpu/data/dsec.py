@@ -134,9 +134,14 @@ class DSECDataset:
             x, y = xy[:, 0].astype(np.float32), xy[:, 1].astype(np.float32)
         else:
             x, y = x.astype(np.float32), y.astype(np.float32)
+        clip = (finish - start) / 500000.0 * 1.5
+        from .. import native
+        if native.available():
+            grid = native.voxel_grid(t, x, y, p, bins=self.events_bins,
+                                     height=self.HEIGHT, width=self.WIDTH)
+            return native.events_norm(grid, clip)
         grid = host_voxel_grid(t, x, y, p, self.WIDTH, self.HEIGHT,
                                self.events_bins)
-        clip = (finish - start) / 500000.0 * 1.5
         return host_events_norm(grid, clip)
 
     # ---------------- samples ----------------

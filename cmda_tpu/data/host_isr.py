@@ -46,7 +46,18 @@ def _shift(gray, s, direction):
 
 def host_image_change(pil_image, *, val_range, threshold, clip_range,
                       shift_pixel=1, shift_direction="rightdown"):
-    """PIL image -> ISR float32 (H, W) in [-1, 1]."""
+    """PIL image -> ISR float32 (H, W) in [-1, 1].
+
+    Uses the C++ ingest kernel when built (bit-compatible; tests/test_native)."""
+    from .. import native
+    if native.available():
+        if pil_image.mode == "RGB":
+            gray_n = native.grayscale(np.asarray(pil_image, np.uint8))
+        else:
+            gray_n = np.asarray(pil_image.convert("L"), np.float32)
+        return native.isr(gray_n, val_range=val_range, threshold=threshold,
+                          clip_range=clip_range, shift_pixel=shift_pixel,
+                          direction=shift_direction)
     gray = np.array(pil_image.convert("L"), dtype=np.float32)
 
     def ic(now):

@@ -1,0 +1,219 @@
+// cmda_tpu native ingest — the host-side hot ops of the input pipeline.
+//
+// The reference spends its dataloader workers in h5py/PIL Python code
+// (reference mmseg/datasets/dsec.py:26-121 voxel splat + normalize,
+// mmseg/datasets/utils.py:87-152 ISR). These C++ kernels implement the same
+// math (bit-compatible with the numpy twins in cmda_tpu/data, which are
+// golden-tested against the jnp device ops) so the TPU never starves on
+// host preprocessing. Exposed via a C ABI for ctypes.
+//
+// Build: python -m cmda_tpu.native.build   (g++ -O3 -march=native -shared)
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// PIL-exact ITU-R 601-2 grayscale: (19595 R + 38470 G + 7471 B + 0x8000) >> 16
+// rgb: H*W*3 uint8, out: H*W float32 (0..255)
+// ---------------------------------------------------------------------------
+void cmda_grayscale(const uint8_t* rgb, int64_t n_pixels, float* out) {
+  for (int64_t i = 0; i < n_pixels; ++i) {
+    const uint32_t r = rgb[3 * i], g = rgb[3 * i + 1], b = rgb[3 * i + 2];
+    out[i] = static_cast<float>((19595u * r + 38470u * g + 7471u * b + 0x8000u) >> 16);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Trilinear event splat into a (bins, H, W) grid; value 2p-1.
+// Mirrors reference mmseg/datasets/dsec.py:26-58 (torch put_ accumulate).
+// t must be pre-normalized to [0, 1] over the slice (or any range; we
+// renormalize to (bins-1) internally from t[0]/t[n-1]).
+// ---------------------------------------------------------------------------
+void cmda_voxel_grid(const float* t, const float* x, const float* y,
+                     const float* p, int64_t n, int bins, int height,
+                     int width, float* grid /* bins*H*W, zeroed by caller */) {
+  if (n <= 0) return;
+  const float t0 = t[0];
+  float denom = t[n - 1] - t0;
+  if (denom == 0.f) denom = 1.f;
+  const float tscale = (bins - 1) / denom;
+  for (int64_t i = 0; i < n; ++i) {
+    const float tn = (t[i] - t0) * tscale;
+    const float value = 2.f * p[i] - 1.f;
+    const int x0 = static_cast<int>(x[i]);   // trunc toward zero (torch .int())
+    const int y0 = static_cast<int>(y[i]);
+    const int t0i = static_cast<int>(tn);
+    for (int dx = 0; dx <= 1; ++dx)
+      for (int dy = 0; dy <= 1; ++dy)
+        for (int dt = 0; dt <= 1; ++dt) {
+          const int xl = x0 + dx, yl = y0 + dy, tl = t0i + dt;
+          if (xl < 0 || xl >= width || yl < 0 || yl >= height || tl < 0 ||
+              tl >= bins)
+            continue;
+          const float w = value * (1.f - std::fabs(xl - x[i])) *
+                          (1.f - std::fabs(yl - y[i])) *
+                          (1.f - std::fabs(tl - tn));
+          grid[static_cast<int64_t>(height) * width * tl +
+               static_cast<int64_t>(width) * yl + xl] += w;
+        }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// events_norm, enforce_no_events_zero path
+// (reference mmseg/datasets/dsec.py:81-121): standardize over nonzeros,
+// clip to ±clip, per-sign global min-max renorm to [-final, final].
+// In-place over grid[0..n).
+// ---------------------------------------------------------------------------
+void cmda_events_norm(float* grid, int64_t n, float clip, float final_range) {
+  double sum = 0.0, sumsq = 0.0;
+  int64_t nz = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const float v = grid[i];
+    if (v != 0.f) {
+      ++nz;
+      sum += v;
+      sumsq += static_cast<double>(v) * v;
+    }
+  }
+  if (nz > 0) {
+    const double mean = sum / nz;
+    const double var = sumsq / nz - mean * mean;
+    const double std = std::sqrt(std::max(var, 0.0));
+    const double inv = 1.0 / (std + 1e-8);
+    for (int64_t i = 0; i < n; ++i)
+      if (grid[i] != 0.f) grid[i] = static_cast<float>((grid[i] - mean) * inv);
+  }
+  // per-sign clip + global min-max renorm (zeros participate in min/max,
+  // exactly like tensor_normalize_to_range over the whole tensor)
+  float pos_min = 1e30f, pos_max = -1e30f, neg_min = 1e30f, neg_max = -1e30f;
+  for (int64_t i = 0; i < n; ++i) {
+    const float v = grid[i];
+    const float pv = std::min(std::max(v, 0.f), clip);
+    const float nv = std::max(std::min(v, 0.f), -clip);
+    pos_min = std::min(pos_min, pv); pos_max = std::max(pos_max, pv);
+    neg_min = std::min(neg_min, nv); neg_max = std::max(neg_max, nv);
+  }
+  const float pscale = final_range / (pos_max - pos_min + 1e-8f);
+  const float nscale = final_range / (neg_max - neg_min + 1e-8f);
+  for (int64_t i = 0; i < n; ++i) {
+    const float v = grid[i];
+    const float pv = std::min(std::max(v, 0.f), clip);
+    const float nv = std::max(std::min(v, 0.f), -clip);
+    grid[i] = (pv - pos_min) * pscale + ((nv - neg_min) * nscale - final_range);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// ISR (get_ic) on a grayscale frame: shifted log-difference with dead zone,
+// asymmetric clip, per-sign global min-max renorm
+// (reference mmseg/datasets/utils.py:87-152).
+// direction: 0 leftdown, 1 leftup, 2 rightdown, 3 rightup, 4 all.
+// gray: H*W float (0..255); out: H*W float in [-1, 1].
+// ---------------------------------------------------------------------------
+namespace {
+
+void get_ic(const float* front, const float* now, int64_t n, float lo,
+            float hi, float threshold, float clip_range, float* out) {
+  const float span = std::log(hi) - std::log(lo);
+  const float thr = span * threshold;
+  const float clip = span * clip_range;
+  const float k = (hi - lo) / 255.f;
+  float pos_min = 1e30f, pos_max = -1e30f, neg_min = 1e30f, neg_max = -1e30f;
+  for (int64_t i = 0; i < n; ++i) {
+    float d = std::log(now[i] * k + lo) - std::log(front[i] * k + lo);
+    if (std::fabs(d) <= thr) d = 0.f;
+    const float pv = std::min(std::max(d, 0.f), clip);
+    const float nv = std::max(std::min(d, 0.f), -clip);
+    out[i] = d;  // stash raw for the second pass
+    pos_min = std::min(pos_min, pv); pos_max = std::max(pos_max, pv);
+    neg_min = std::min(neg_min, nv); neg_max = std::max(neg_max, nv);
+  }
+  const float pscale = 1.f / (pos_max - pos_min + 1e-8f);
+  const float nscale = 1.f / (neg_max - neg_min + 1e-8f);
+  for (int64_t i = 0; i < n; ++i) {
+    const float d = out[i];
+    const float pv = std::min(std::max(d, 0.f), clip);
+    const float nv = std::max(std::min(d, 0.f), -clip);
+    out[i] = (pv - pos_min) * pscale + ((nv - neg_min) * nscale - 1.f);
+  }
+}
+
+// shifted frame with replicated border slab, matching
+// np.concatenate([gray[:, :s], gray[:, :w-s]]) et al.
+void make_shift(const float* gray, int h, int w, int s, int dir /*0 l,1 r,2 u,3 d*/,
+                float* out) {
+  for (int i = 0; i < h; ++i) {
+    for (int j = 0; j < w; ++j) {
+      int si = i, sj = j;
+      switch (dir) {
+        case 0: sj = (j + s < w) ? j + s : (w - s) + (j - (w - s)); break;  // left: [s:], then last s cols of [w-s:]
+        case 1: sj = (j < s) ? j : j - s; break;                            // right
+        case 2: si = (i + s < h) ? i + s : (h - s) + (i - (h - s)); break;  // up
+        case 3: si = (i < s) ? i : i - s; break;                            // down
+      }
+      out[static_cast<int64_t>(i) * w + j] = gray[static_cast<int64_t>(si) * w + sj];
+    }
+  }
+}
+
+}  // namespace
+
+void cmda_isr(const float* gray, int height, int width, float lo, float hi,
+              float threshold, float clip_range, int shift_pixel,
+              int direction, float* out) {
+  const int64_t n = static_cast<int64_t>(height) * width;
+  std::vector<float> shifted(n), ic(n);
+  if (direction == 4) {  // 'all': average over up, left, down, right
+    std::memset(out, 0, n * sizeof(float));
+    const int dirs[4] = {2, 0, 3, 1};
+    for (int d = 0; d < 4; ++d) {
+      make_shift(gray, height, width, shift_pixel, dirs[d], shifted.data());
+      get_ic(gray, shifted.data(), n, lo, hi, threshold, clip_range, ic.data());
+      for (int64_t i = 0; i < n; ++i) out[i] += ic[i] * 0.25f;
+    }
+    return;
+  }
+  const bool left = direction < 2;          // {0,1}=left*, {2,3}=right*
+  const bool up = (direction % 2) == 1;     // {1,3}=*up
+  make_shift(gray, height, width, shift_pixel, left ? 0 : 1, shifted.data());
+  get_ic(gray, shifted.data(), n, lo, hi, threshold, clip_range, out);
+  make_shift(gray, height, width, shift_pixel, up ? 2 : 3, shifted.data());
+  get_ic(gray, shifted.data(), n, lo, hi, threshold, clip_range, ic.data());
+  for (int64_t i = 0; i < n; ++i) out[i] = out[i] * 0.5f + ic[i] * 0.5f;
+}
+
+// ---------------------------------------------------------------------------
+// Batched target preprocessing: voxel + norm for B event slices in parallel
+// (thread per sample) — the ingest service core loop.
+// ---------------------------------------------------------------------------
+void cmda_voxel_batch(const float* t, const float* x, const float* y,
+                      const float* p, const int64_t* offsets /* B+1 */,
+                      int batch, int bins, int height, int width,
+                      float clip_scale /* clip = n_events * clip_scale */,
+                      float* grids /* B*bins*H*W, zeroed */) {
+  std::atomic<int> next(0);
+  const int n_threads = std::min<int>(batch, std::max(1u, std::thread::hardware_concurrency()));
+  auto work = [&]() {
+    int i;
+    while ((i = next.fetch_add(1)) < batch) {
+      const int64_t a = offsets[i], b = offsets[i + 1];
+      float* g = grids + static_cast<int64_t>(i) * bins * height * width;
+      cmda_voxel_grid(t + a, x + a, y + a, p + a, b - a, bins, height, width, g);
+      cmda_events_norm(g, static_cast<int64_t>(bins) * height * width,
+                       (b - a - 1) * clip_scale, 1.f);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 0; i < n_threads; ++i) pool.emplace_back(work);
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

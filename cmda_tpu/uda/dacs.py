@@ -91,17 +91,24 @@ class DACSTrainer:
         b = self.cfg.data.batch_size
         img = jnp.zeros((b, h, w, 3), jnp.float32)
         init_mode = "fusion_all" if self.cfg.model.fusion_isr else "default"
-        variables = self.model.init(
-            rng, img, img, img if self.cfg.model.fusion_isr else None,
-            mode=init_mode, method=self.model.forward_logits)
+
+        # jit the init: eager init dispatches thousands of tiny ops (very
+        # slow through the TPU runtime); one compiled program instead.
+        def _init(r):
+            return self.model.init(
+                r, img, img, img if self.cfg.model.fusion_isr else None,
+                mode=init_mode, method=self.model.forward_logits)
+
+        variables = jax.jit(_init)(rng)
         if pretrained_variables is not None:
             variables = pretrained_variables
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
         self.tx = make_optimizer(params, self.cfg.optim)
         if self.cyclegan is not None and cyclegan_params is None:
-            cyclegan_params = self.cyclegan.init(
-                rng, jnp.zeros((1, h, w, 1)))["params"]
+            cyclegan_params = jax.jit(
+                lambda r: self.cyclegan.init(r, jnp.zeros((1, h, w, 1)))
+            )(rng)["params"]
         return DACSTrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
