@@ -55,6 +55,8 @@ class UDAConfig:
     # variants
     isr_another_fusion: bool = False
     isr_no_fusion: bool = False
+    isr_edge: bool = False                    # raw-isr_no-fusion edge labels
+    lambda_isr_features: float = 1.0
     fuse_both_ice_and_e: bool = False
     without_events: bool = False
     without_isd: bool = False

@@ -44,7 +44,8 @@ from ..ops.normalize import denorm_image
 from ..train.optim import make_optimizer
 from .transforms import (
     multi_stream_loss, pseudo_label_and_weight, downscale_label_ratio,
-    masked_feat_dist,
+    masked_feat_dist, split_stream_loss, seg_label_to_edge_label,
+    feature_consistency_loss,
 )
 
 
@@ -242,24 +243,68 @@ class DACSTrainer:
             state.ema_params, state.params)
         state = state.replace(ema_params=ema_params)
 
-        # ⑤ teacher pseudo-labels (fusion stream)
+        split_type = train_type == "cs2dz_image+raw-isr_split"
+        nofusion_type = train_type == "cs2dz_image+raw-isr_no-fusion"
+        d2n_type = train_type == "cs2dz_image+d2n-isr"
+        pl_kw = dict(threshold=u.pseudo_threshold,
+                     ignore_top=u.pseudo_weight_ignore_top,
+                     ignore_bottom=u.pseudo_weight_ignore_bottom)
+
+        # ⑤ teacher pseudo-labels
+        pl2 = pw2 = target_day_pl = None
         if train_type == "cs2dsec_image+events_together":
             ema_second = jnp.where(use_events, night_events, night_isr)
             ema_mode = "fusion_all" if u.fuse_both_ice_and_e else "default"
             teacher = self._teacher_logits(
                 state, night_image, ema_second,
                 night_isr if u.fuse_both_ice_and_e else None, ema_mode)
+            pseudo_label, pseudo_weight = pseudo_label_and_weight(
+                teacher["fusion_output"], **pl_kw)
         elif train_type == "cs2dsec_image+events":
             ema_second = jnp.where(use_events, night_events, night_isr)
             teacher = self._teacher_logits(state, night_image, ema_second,
                                            None, "default")
-        else:  # cs2dz_image+raw-isr family
+            pseudo_label, pseudo_weight = pseudo_label_and_weight(
+                teacher["fusion_output"], **pl_kw)
+        elif split_type:
+            # separate image / events pseudo-labels (reference dacs.py:628-651)
             teacher = self._teacher_logits(state, night_image, night_isr,
                                            None, "default")
-        pseudo_label, pseudo_weight = pseudo_label_and_weight(
-            teacher["fusion_output"], threshold=u.pseudo_threshold,
-            ignore_top=u.pseudo_weight_ignore_top,
-            ignore_bottom=u.pseudo_weight_ignore_bottom)
+            pseudo_label, pseudo_weight = pseudo_label_and_weight(
+                teacher["image_output"], **pl_kw)
+            pl2, pw2 = pseudo_label_and_weight(
+                teacher["events_output"], **pl_kw)
+        elif nofusion_type:
+            # image stream supervises the ISR stream (reference dacs.py:624-626)
+            teacher = self._teacher_logits(state, night_image, night_isr,
+                                           None, "no_fusion")
+            pseudo_label, pseudo_weight = pseudo_label_and_weight(
+                teacher["image_output"], **pl_kw)
+        elif d2n_type:
+            # day->night transferred-ISR variant: teacher on the target-day
+            # image gives the day pseudo-label (reference dacs.py:469-478);
+            # night PL = average of image+events softmax (:602-610)
+            day_pair_img = tgt["day_image"]
+            day_pair_isr = tgt["day_isr"]
+            teacher_day = self._teacher_logits(state, day_pair_img, None,
+                                               None, "no_fusion")
+            target_day_pl = jnp.argmax(teacher_day["image_output"],
+                                       axis=-1).astype(jnp.int32)
+            teacher = self._teacher_logits(state, night_image, night_isr,
+                                           None, "default")
+            avg_sm = 0.5 * jax.nn.softmax(
+                teacher["image_output"].astype(jnp.float32), -1) + \
+                0.5 * jax.nn.softmax(
+                    teacher["events_output"].astype(jnp.float32), -1)
+            prob = jnp.max(avg_sm, -1)
+            pseudo_label = jnp.argmax(avg_sm, -1).astype(jnp.int32)
+            ratio = jnp.mean((prob >= u.pseudo_threshold).astype(jnp.float32))
+            pseudo_weight = jnp.full(prob.shape, 1.0) * ratio
+        else:  # cs2dz_image+raw-isr
+            teacher = self._teacher_logits(state, night_image, night_isr,
+                                           None, "default")
+            pseudo_label, pseudo_weight = pseudo_label_and_weight(
+                teacher["fusion_output"], **pl_kw)
 
         # ⑥ ClassMix + strong transform, all on device
         selected = sample_class_half(k_mix, day_label,
@@ -270,11 +315,22 @@ class DACSTrainer:
             k_jit, mixed_img, apply_jitter, u.color_jitter_strength)
         mixed_img = maybe_gaussian_blur(mixed_img, sigma, apply_blur)
         mixed_lbl = jnp.where(masks, day_label, pseudo_label)
-        mixed_weight = one_mix(masks, jnp.ones_like(pseudo_weight),
-                               pseudo_weight)
+        ones_w = jnp.ones_like(pseudo_weight)
+        mixed_weight = one_mix(masks, ones_w, pseudo_weight)
         mixed_events = (one_mix(masks, day_events, night_events)
                         if has_events else None)
-        if u.mixed_image_to_mixed_isr:
+        mixed_lbl2 = mixed_weight2 = None
+        if split_type:
+            mixed_lbl2 = jnp.where(masks, day_label, pl2)
+            mixed_weight2 = one_mix(masks, ones_w, pw2)
+        if d2n_type:
+            # second mask set drawn from the day pseudo-label
+            sel2 = sample_class_half(jax.random.fold_in(k_mix, 1),
+                                     target_day_pl, cfg.data.num_classes)
+            masks2 = class_mix_mask(target_day_pl, sel2, cfg.data.num_classes)
+            mixed_lbl2 = jnp.where(masks2, target_day_pl, pseudo_label)
+            mixed_isr = one_mix(masks2, day_pair_isr, night_isr)
+        elif u.mixed_image_to_mixed_isr:
             dir_idx = jax.random.randint(k_dir, (mixed_img.shape[0],), 0, 4)
             mixed_isr = self._mixed_isr(mixed_img, dir_idx)
         else:
@@ -290,9 +346,15 @@ class DACSTrainer:
                 rngs=rngs, method=self.model.forward_train)
             return logits, feats, updates["batch_stats"]
 
+        def stream_losses(logits, labels, seg_weights, factor):
+            return split_stream_loss(
+                logits, labels, seg_weights, w_image=weights["w_image"],
+                w_events=weights["w_events"], factor=factor)
+
         def loss_fn(params):
             logs = {}
             # ③ source supervised step
+            src_mode = "default"
             if train_type == "cs2dsec_image+events_together":
                 src_in = (day_image, day_events, day_isr)
                 src_mode = ("fusion_all" if u.fuse_both_ice_and_e else
@@ -300,17 +362,36 @@ class DACSTrainer:
             elif train_type == "cs2dsec_image+events":
                 second = jnp.where(use_events, day_events, day_isr)
                 src_in = (day_image, second, None)
-                src_mode = "default"
-            else:  # cs2dz raw-isr: ISR plays the events role
+            elif d2n_type:
+                src_in = (day_image, day_pair_isr, None)
+            elif nofusion_type:
                 src_in = (day_image, day_isr, None)
-                src_mode = "default"
+                src_mode = "no_fusion"
+            else:  # raw-isr / split: ISR plays the events role
+                src_in = (day_image, day_isr, None)
             logits_src, feats_src, bstats1 = forward_train(
                 params, state.batch_stats, *src_in, src_mode)
-            loss_src, logs_src = multi_stream_loss(
-                logits_src, day_label, None, **weights)
+            if split_type:
+                loss_src, logs_src = stream_losses(
+                    logits_src, {"image": day_label, "events": day_label},
+                    {}, 2.0)
+            elif d2n_type:
+                loss_src, logs_src = stream_losses(
+                    logits_src,
+                    {"image": day_label, "events": target_day_pl}, {}, 1.0)
+            elif nofusion_type:
+                ev_lbl = (seg_label_to_edge_label(day_label)
+                          if u.isr_edge else day_label)
+                loss_src, logs_src = stream_losses(
+                    logits_src, {"image": day_label, "events": ev_lbl},
+                    {}, 1.0)
+            else:
+                loss_src, logs_src = multi_stream_loss(
+                    logits_src, day_label, None, **weights)
             logs.update({f"src/{k}": v for k, v in logs_src.items()})
 
             # ⑦ mixed-domain step
+            mix_consistency = 0.0
             if train_type == "cs2dsec_image+events_together":
                 mix_in = (mixed_img, mixed_events, mixed_isr)
             elif train_type == "cs2dsec_image+events":
@@ -318,13 +399,39 @@ class DACSTrainer:
                 mix_in = (mixed_img, second, None)
             else:
                 mix_in = (mixed_img, mixed_isr, None)
-            logits_mix, _, bstats2 = forward_train(
+            logits_mix, feats_mix, bstats2 = forward_train(
                 params, bstats1, *mix_in, src_mode)
-            loss_mix, logs_mix = multi_stream_loss(
-                logits_mix, mixed_lbl, mixed_weight, **weights)
+            if split_type:
+                loss_mix, logs_mix = stream_losses(
+                    logits_mix, {"image": mixed_lbl, "events": mixed_lbl2},
+                    {"image": mixed_weight, "events": mixed_weight2}, 2.0)
+            elif d2n_type:
+                loss_mix, logs_mix = stream_losses(
+                    logits_mix, {"image": mixed_lbl, "events": mixed_lbl2},
+                    {"image": mixed_weight, "events": mixed_weight}, 1.0)
+            elif nofusion_type:
+                ev_lbl = (seg_label_to_edge_label(mixed_lbl)
+                          if u.isr_edge else mixed_lbl)
+                loss_mix, logs_mix = stream_losses(
+                    logits_mix, {"image": mixed_lbl, "events": ev_lbl},
+                    {"image": mixed_weight, "events": mixed_weight}, 1.0)
+                # ISR-feature consistency (reference dacs.py:807-819 +
+                # encoder_decoder.py:833-848): f_image of the mixed forward
+                # pulled toward frozen f_events(mixed_isr)
+                f_isr = self.model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    None, mixed_isr, None, mode="no_fusion", train=False,
+                    method=self.model.extract_feat)["f_events"]
+                mix_consistency = feature_consistency_loss(
+                    feats_mix["f_image"], f_isr,
+                    u.lambda_feature_consistency) * u.lambda_isr_features
+                logs["mix/loss_feat_consis"] = mix_consistency
+            else:
+                loss_mix, logs_mix = multi_stream_loss(
+                    logits_mix, mixed_lbl, mixed_weight, **weights)
             logs.update({f"mix/{k}": v for k, v in logs_mix.items()})
 
-            total = loss_src + loss_mix
+            total = loss_src + loss_mix + mix_consistency
             # ④ ImageNet feature distance
             if self.enable_fdist:
                 fd = self._fdist_loss(state, feats_src["f_image"],

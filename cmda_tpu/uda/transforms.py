@@ -94,6 +94,56 @@ def downscale_label_ratio(gt, scale_factor: int, min_ratio: float,
     return lbl.astype(jnp.int32)
 
 
+def seg_label_to_edge_label(label, ignore_index: int = 255):
+    """Label -> binary edge map (reference dacs_transforms.py:174-183):
+    3x3 replicate-padded average != center -> 1; 3x3 max >= ignore -> 0."""
+    lf = label.astype(jnp.float32)
+    padded = jnp.pad(lf, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    win = jax.lax.reduce_window(
+        padded, 0.0, jax.lax.add, (1, 3, 3), (1, 1, 1), "VALID") / 9.0
+    mx = jax.lax.reduce_window(
+        padded, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1), "VALID")
+    diff = win - lf
+    edge = jnp.where(diff != 0, 1, 0)
+    edge = jnp.where(mx >= ignore_index, 0, edge)
+    return edge.astype(jnp.int32)
+
+
+def split_stream_loss(logits: dict, labels: dict, weights: dict, *,
+                      w_image: float, w_events: float, factor: float = 2.0,
+                      ignore_index: int = 255):
+    """Two-stream loss with per-stream labels/weights.
+
+    factor=2: cs2dz_image+raw-isr_split (decode_head.py:501-507, each term
+    scaled x2); factor=1: the no-fusion/d2n dict-label path
+    (decode_head.py:494-523 with fusion_output None)."""
+    size = labels["image"].shape[1:3]
+
+    def ce(x, lbl, w):
+        return weighted_cross_entropy(resize_bilinear(x, size), lbl, w,
+                                      ignore_index=ignore_index)
+
+    l_img = ce(logits["image_output"], labels["image"], weights.get("image"))
+    l_ev = ce(logits["events_output"], labels["events"], weights.get("events"))
+    loss = l_img * w_image * factor + l_ev * w_events * factor
+    logs = {"loss_image": l_img, "loss_events": l_ev, "loss_seg": loss,
+            "acc_seg": pixel_accuracy(
+                resize_bilinear(logits["image_output"], size),
+                labels["image"])}
+    return loss, logs
+
+
+def feature_consistency_loss(f_image, f_target, lam: float):
+    """lambda * sum_i MSE(f_image[i], stop_grad(f_target[i]))
+    (reference encoder_decoder.py:833-848)."""
+    loss = 0.0
+    for a, b in zip(f_image, f_target):
+        b = jax.lax.stop_gradient(b)
+        loss = loss + jnp.mean((a.astype(jnp.float32)
+                                - b.astype(jnp.float32)) ** 2)
+    return lam * loss
+
+
 def masked_feat_dist(f_student, f_imnet, mask):
     """Mean L2 norm over channel of the feature difference, over masked
     positions (reference dacs.py:317-326). NHWC features, mask [B,h,w]."""
