@@ -47,6 +47,7 @@ def run(batch_size: int, steps: int = 10, warmup: int = 3):
 
     cfg = cs2dsec_image_events_b5()
     cfg = replace(cfg, dtype="bfloat16",
+                  model=replace(cfg.model, remat=True),
                   data=replace(cfg.data, batch_size=batch_size),
                   uda=replace(cfg.uda, use_cyclegan_day_events=True))
     trainer = DACSTrainer(cfg)

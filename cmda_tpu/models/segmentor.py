@@ -42,6 +42,7 @@ class SegmentorConfig:
     events_classes: int | None = None
     head: DAFormerHeadConfig = field(default_factory=DAFormerHeadConfig)
     drop_path_rate: float = 0.1
+    remat: bool = False   # checkpoint each encoder block (memory vs FLOPs)
 
 
 def _dtype_of(name):
@@ -58,7 +59,8 @@ class EncoderDecoder(nn.Module):
         mit_cfg = MIT_VARIANTS[self.cfg.backbone]
         mit_cfg = type(mit_cfg)(**{**mit_cfg.__dict__,
                                    "drop_path_rate": self.cfg.drop_path_rate})
-        self.backbone = MixVisionTransformer(mit_cfg, dtype=self.dtype)
+        self.backbone = MixVisionTransformer(mit_cfg, dtype=self.dtype,
+                                             remat=self.cfg.remat)
         self.decode_head = DAFormerHead(self.cfg.head, dtype=self.dtype)
 
     def extract_feat(self, img, train: bool = False):
@@ -85,8 +87,10 @@ class FusionEncoderDecoder(nn.Module):
         mit_cfg = MIT_VARIANTS[self.cfg.backbone]
         mit_cfg = type(mit_cfg)(**{**mit_cfg.__dict__,
                                    "drop_path_rate": self.cfg.drop_path_rate})
-        self.backbone_image = MixVisionTransformer(mit_cfg, dtype=self.dtype)
-        self.backbone_events = MixVisionTransformer(mit_cfg, dtype=self.dtype)
+        self.backbone_image = MixVisionTransformer(mit_cfg, dtype=self.dtype,
+                                                    remat=self.cfg.remat)
+        self.backbone_events = MixVisionTransformer(mit_cfg, dtype=self.dtype,
+                                                    remat=self.cfg.remat)
         self.fusion_module = build_fusion_module(self.cfg.fusion, self.dtype)
         self.fusion_isr_module = build_fusion_module(self.cfg.fusion_isr, self.dtype)
         self.decode_head = DAFormerFusionHead(

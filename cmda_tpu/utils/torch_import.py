@@ -66,7 +66,12 @@ def _bn_stats(sd, key):
 # ---------------------------------------------------------------------------
 
 def convert_mit(sd: dict, depths=(3, 6, 40, 3)) -> dict:
-    """NVlabs MiT state_dict (numpy) -> our MixVisionTransformer params."""
+    """NVlabs MiT state_dict (numpy) -> our MixVisionTransformer params.
+
+    Stage blocks are STACKED along a leading depth axis (our encoder scans
+    one traced block per stage over stacked parameters)."""
+    import jax
+
     p = {}
     for s in range(1, 5):
         p[f"patch_embed{s}"] = {
@@ -74,26 +79,9 @@ def convert_mit(sd: dict, depths=(3, 6, 40, 3)) -> dict:
             "norm": _ln(sd, f"patch_embed{s}.norm"),
         }
         p[f"norm{s}"] = _ln(sd, f"norm{s}")
-        for i in range(depths[s - 1]):
-            t = f"block{s}.{i}"
-            attn = {
-                "q": _lin(sd, f"{t}.attn.q"),
-                "kv": _lin(sd, f"{t}.attn.kv"),
-                "proj": _lin(sd, f"{t}.attn.proj"),
-            }
-            if f"{t}.attn.sr.weight" in sd:
-                attn["sr"] = _conv(sd, f"{t}.attn.sr")
-                attn["sr_norm"] = _ln(sd, f"{t}.attn.norm")
-            p[f"block{s}_{i}"] = {
-                "norm1": _ln(sd, f"{t}.norm1"),
-                "norm2": _ln(sd, f"{t}.norm2"),
-                "attn": attn,
-                "mlp": {
-                    "fc1": _lin(sd, f"{t}.mlp.fc1"),
-                    "fc2": _lin(sd, f"{t}.mlp.fc2"),
-                    "dwconv": {"dwconv": _conv(sd, f"{t}.mlp.dwconv.dwconv")},
-                },
-            }
+        blocks = [_convert_mit_block(sd, f"block{s}.{i}")
+                  for i in range(depths[s - 1])]
+        p[f"blocks{s}"] = jax.tree.map(lambda *xs: np.stack(xs), *blocks)
     return p
 
 

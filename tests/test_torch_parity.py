@@ -116,6 +116,41 @@ def test_patch_embed_parity():
     np.testing.assert_allclose(np.asarray(out), oracle, atol=2e-5)
 
 
+def test_scanned_stage_matches_torch_block_loop():
+    """A 3-block stage scanned over stacked params == torch loop of blocks."""
+    import jax
+    from flax import linen as fnn
+    from cmda_tpu.models.mit import MiTBlockScan
+    from cmda_tpu.utils.torch_import import _convert_mit_block
+    import numpy as np_
+
+    dim, heads, H, W, depth = 8, 2, 8, 8, 3
+    blocks = [TorchSRABlock(dim, heads, sr=2).eval() for _ in range(depth)]
+    x = torch.randn(2, H * W, dim)
+    with torch.no_grad():
+        y = x
+        for blk in blocks:
+            y = blk(y, H, W)
+        oracle = y.numpy()
+
+    stacked = jax.tree.map(
+        lambda *xs: np_.stack(xs),
+        *[_convert_mit_block({f"t.{k}": v for k, v in
+                              to_numpy(b.state_dict()).items()}, "t")
+          for b in blocks])
+    Scan = fnn.scan(MiTBlockScan, variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True,
+                                "droppath": True},
+                    in_axes=0, length=depth,
+                    metadata_params={fnn.meta.PARTITION_NAME: None})
+    mod = Scan(dim=dim, num_heads=heads, mlp_ratio=4, sr_ratio=2,
+               qkv_bias=True, drop_rate=0.0, attn_drop_rate=0.0,
+               hw=(H, W), deterministic=True)
+    out, _ = mod.apply({"params": stacked}, jnp.asarray(x.numpy()),
+                       jnp.zeros((depth,)))
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=5e-5)
+
+
 # --------------------------- CycleGAN generator -----------------------------
 
 class TorchResnetGenerator(nn.Module):
