@@ -181,11 +181,12 @@ class MiTBlockScan(nn.Module):
     def _drop_path(self, y, rate, rng_name):
         if self.deterministic:
             return y
-        keep = 1.0 - rate
+        keep = (1.0 - rate).astype(jnp.float32)
         rng = self.make_rng(rng_name)
         shape = (y.shape[0],) + (1,) * (y.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
-        return jnp.where(mask, y / keep, jnp.zeros_like(y))
+        scaled = y / keep.astype(y.dtype)
+        return jnp.where(mask, scaled, jnp.zeros_like(y))
 
     @nn.compact
     def __call__(self, x, drop_path_rate):

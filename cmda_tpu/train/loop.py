@@ -83,7 +83,7 @@ def load_checkpoint(state: DACSTrainState, path: str) -> DACSTrainState:
 def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
                     output: str = "fusion", use_teacher: bool = False,
                     num_classes: int = 19, max_samples: int | None = None,
-                    batch_size: int = 1) -> dict:
+                    batch_size: int = 1, show_dir: str | None = None) -> dict:
     """Whole-image inference over a test dataset -> mIoU metrics.
 
     Mirrors single_gpu_test_events + dataset.evaluate (reference
@@ -123,6 +123,13 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
             res = intersect_and_union(pred[j], s["label"], num_classes)
             for k in range(4):
                 totals[k] += res[k]
+            if show_dir is not None:
+                from ..utils.visualization import show_result
+                show_result(
+                    s["image"], pred[j], gt=s.get("label"),
+                    events=s.get("events", s.get("isr")),
+                    out_path=os.path.join(show_dir,
+                                          f"{start + j:06d}.png"))
     ret = eval_metrics(*totals)
     summary = summarize_miou(ret, valid_classes=18)
     summary["per_class_iou"] = {
