@@ -62,6 +62,7 @@ class UDAConfig:
     without_isd: bool = False
     lambda_feature_consistency: float = 0.25
     use_cyclegan_day_events: bool = True      # cyclegan_itrd2en
+    use_pallas_isr: bool = True               # fused ISR kernel on TPU
 
 
 @dataclass(frozen=True)

@@ -153,20 +153,38 @@ class DACSTrainer:
 
     def _mixed_isr(self, mixed_img, dir_idx):
         """Recompute the ISR of the (jittered/blurred) mixed image on-device
-        (kills the reference's PIL round-trip, dacs.py:729-755)."""
+        (kills the reference's PIL round-trip, dacs.py:729-755).
+
+        On TPU the shift/log-diff/renorm chain runs as one fused Pallas
+        kernel (ops/pallas_kernels.py); elsewhere the jnp path."""
         p = self.cfg.uda.isr_params
         static_dir = (None if self.cfg.uda.shift_type == "random"
                       else self.cfg.uda.shift_type)
 
-        def per_image(img, idx):
-            return image_to_isr(
-                denorm_image(img),
-                val_range=p.val_range, threshold=p.threshold,
-                clip_range=p.clip_range, shift_pixel=p.shift_pixel,
-                shift_direction=static_dir,
-                direction_idx=None if static_dir else idx)
+        if (self.cfg.uda.use_pallas_isr and jax.default_backend() == "tpu"
+                and static_dir != "all"):
+            from ..ops.isr import pil_grayscale, SHIFT_DIRECTIONS
+            from ..ops.pallas_kernels import pallas_batched_isr
+            rgb_u8 = jnp.clip(denorm_image(mixed_img) * 255.0, 0, 255
+                              ).astype(jnp.uint8)
+            gray = pil_grayscale(rgb_u8).astype(jnp.float32)
+            if static_dir is not None:
+                dir_idx = jnp.full((mixed_img.shape[0],),
+                                   SHIFT_DIRECTIONS.index(static_dir),
+                                   jnp.int32)
+            isr = pallas_batched_isr(
+                gray, dir_idx, val_range=p.val_range, threshold=p.threshold,
+                clip_range=p.clip_range, shift_pixel=p.shift_pixel)
+        else:
+            def per_image(img, idx):
+                return image_to_isr(
+                    denorm_image(img),
+                    val_range=p.val_range, threshold=p.threshold,
+                    clip_range=p.clip_range, shift_pixel=p.shift_pixel,
+                    shift_direction=static_dir,
+                    direction_idx=None if static_dir else idx)
 
-        isr = jax.vmap(per_image)(mixed_img, dir_idx)
+            isr = jax.vmap(per_image)(mixed_img, dir_idx)
         return jnp.repeat(isr[..., None], 3, axis=-1)
 
     def _loss_weights(self):
