@@ -1,0 +1,197 @@
+"""Legacy decode heads (reference mmseg/models/decode_heads/: SegFormerHead,
+FCNHead, ASPPHead, DepthwiseSeparableASPPHead, PSPHead, UPerHead, DLV2Head).
+
+These power the non-CMDA baselines of the reference's experiment grid
+(experiments.py architecture table). All NHWC; BN via ConvBNReLU; classifier
+= Dropout2d(0.1) + 1x1 conv like the DAFormer head.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .common import ConvBNReLU, dense_init
+from .daformer import Classifier, SepConvBNReLU
+from ..ops.resize import resize_bilinear
+
+
+@dataclass(frozen=True)
+class HeadConfig:
+    in_channels: Sequence[int] = (64, 128, 320, 512)
+    channels: int = 256
+    num_classes: int = 19
+    dropout_ratio: float = 0.1
+
+
+class SegFormerHead(nn.Module):
+    """Per-scale linear embed -> upsample -> concat -> 1x1 fuse -> cls
+    (the original SegFormer decoder; reference segformer_head.py)."""
+    cfg: HeadConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        target = feats[0].shape[1:3]
+        embeds = []
+        for i, f in enumerate(feats):
+            e = nn.Dense(self.cfg.channels, kernel_init=dense_init,
+                         dtype=self.dtype, name=f"embed{i}")(f)
+            embeds.append(resize_bilinear(e, target))
+        x = jnp.concatenate(embeds[::-1], axis=-1)
+        x = ConvBNReLU(self.cfg.channels, 1, dtype=self.dtype,
+                       name="fuse")(x, train)
+        return Classifier(self.cfg.num_classes, self.cfg.dropout_ratio,
+                          dtype=self.dtype, name="cls")(x, deterministic=not train)
+
+
+class FCNHead(nn.Module):
+    """num_convs 3x3 conv stack on the selected feature (reference fcn_head)."""
+    cfg: HeadConfig
+    num_convs: int = 2
+    in_index: int = -1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        x = feats[self.in_index]
+        for i in range(self.num_convs):
+            x = ConvBNReLU(self.cfg.channels, 3, dtype=self.dtype,
+                           name=f"conv{i}")(x, train)
+        return Classifier(self.cfg.num_classes, self.cfg.dropout_ratio,
+                          dtype=self.dtype, name="cls")(x, deterministic=not train)
+
+
+class ASPPHead(nn.Module):
+    """ASPP with image pool (reference aspp_head.py); sep=True uses
+    depthwise-separable dilated branches (sep_aspp_head.py) and fuses the
+    stride-4 c1 feature like DeepLabV3+."""
+    cfg: HeadConfig
+    dilations: Sequence[int] = (1, 12, 24, 36)
+    sep: bool = False
+    c1_channels: int = 0
+    in_index: int = -1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        x = feats[self.in_index]
+        branches = []
+        pool = jnp.mean(x, axis=(1, 2), keepdims=True)
+        pool = ConvBNReLU(self.cfg.channels, 1, dtype=self.dtype,
+                          name="image_pool")(pool, train)
+        branches.append(jnp.broadcast_to(
+            pool, x.shape[:3] + (self.cfg.channels,)))
+        for i, d in enumerate(self.dilations):
+            if d == 1:
+                y = ConvBNReLU(self.cfg.channels, 1, dtype=self.dtype,
+                               name=f"aspp{i}")(x, train)
+            elif self.sep:
+                y = SepConvBNReLU(self.cfg.channels, 3, dilation=d,
+                                  dtype=self.dtype, name=f"aspp{i}")(x, train)
+            else:
+                y = ConvBNReLU(self.cfg.channels, 3, dilation=d,
+                               dtype=self.dtype, name=f"aspp{i}")(x, train)
+            branches.append(y)
+        y = jnp.concatenate(branches, axis=-1)
+        y = ConvBNReLU(self.cfg.channels, 3, dtype=self.dtype,
+                       name="bottleneck")(y, train)
+        if self.c1_channels > 0:
+            c1 = ConvBNReLU(self.c1_channels, 1, dtype=self.dtype,
+                            name="c1_bottleneck")(feats[0], train)
+            y = resize_bilinear(y, c1.shape[1:3])
+            y = jnp.concatenate([y, c1], axis=-1)
+            y = SepConvBNReLU(self.cfg.channels, 3, dtype=self.dtype,
+                              name="sep_fuse0")(y, train)
+            y = SepConvBNReLU(self.cfg.channels, 3, dtype=self.dtype,
+                              name="sep_fuse1")(y, train)
+        return Classifier(self.cfg.num_classes, self.cfg.dropout_ratio,
+                          dtype=self.dtype, name="cls")(y, deterministic=not train)
+
+
+class PSPHead(nn.Module):
+    """Pyramid pooling head (reference psp_head.py), pool scales 1/2/3/6."""
+    cfg: HeadConfig
+    pool_scales: Sequence[int] = (1, 2, 3, 6)
+    in_index: int = -1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        x = feats[self.in_index]
+        h, w = x.shape[1:3]
+        outs = [x]
+        for i, s in enumerate(self.pool_scales):
+            ph, pw = max(h // s, 1), max(w // s, 1)
+            pooled = nn.avg_pool(x, (ph, pw), strides=(ph, pw))
+            pooled = ConvBNReLU(self.cfg.channels, 1, dtype=self.dtype,
+                                name=f"pool{i}")(pooled, train)
+            outs.append(resize_bilinear(pooled, (h, w)))
+        y = jnp.concatenate(outs, axis=-1)
+        y = ConvBNReLU(self.cfg.channels, 3, dtype=self.dtype,
+                       name="bottleneck")(y, train)
+        return Classifier(self.cfg.num_classes, self.cfg.dropout_ratio,
+                          dtype=self.dtype, name="cls")(y, deterministic=not train)
+
+
+class UPerHead(nn.Module):
+    """FPN + PPM head (reference uper_head.py)."""
+    cfg: HeadConfig
+    pool_scales: Sequence[int] = (1, 2, 3, 6)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        # PPM on the last stage
+        x = feats[-1]
+        h, w = x.shape[1:3]
+        ppm = [x]
+        for i, s in enumerate(self.pool_scales):
+            ph, pw = max(h // s, 1), max(w // s, 1)
+            pooled = nn.avg_pool(x, (ph, pw), strides=(ph, pw))
+            pooled = ConvBNReLU(self.cfg.channels, 1, dtype=self.dtype,
+                                name=f"ppm{i}")(pooled, train)
+            ppm.append(resize_bilinear(pooled, (h, w)))
+        top = ConvBNReLU(self.cfg.channels, 3, dtype=self.dtype,
+                         name="ppm_bottleneck")(
+            jnp.concatenate(ppm, axis=-1), train)
+        # FPN top-down
+        laterals = [ConvBNReLU(self.cfg.channels, 1, dtype=self.dtype,
+                               name=f"lateral{i}")(f, train)
+                    for i, f in enumerate(feats[:-1])] + [top]
+        for i in range(len(laterals) - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + resize_bilinear(
+                laterals[i], laterals[i - 1].shape[1:3])
+        fpn = [ConvBNReLU(self.cfg.channels, 3, dtype=self.dtype,
+                          name=f"fpn{i}")(laterals[i], train)
+               for i in range(len(laterals) - 1)] + [laterals[-1]]
+        size = fpn[0].shape[1:3]
+        fused = jnp.concatenate(
+            [resize_bilinear(f, size) for f in fpn], axis=-1)
+        y = ConvBNReLU(self.cfg.channels, 3, dtype=self.dtype,
+                       name="fpn_bottleneck")(fused, train)
+        return Classifier(self.cfg.num_classes, self.cfg.dropout_ratio,
+                          dtype=self.dtype, name="cls")(y, deterministic=not train)
+
+
+class DLV2Head(nn.Module):
+    """DeepLabV2 multi-dilation sum head (reference dlv2_head.py): parallel
+    dilated 3x3 classifiers summed, no BN, no dropout."""
+    cfg: HeadConfig
+    dilations: Sequence[int] = (6, 12, 18, 24)
+    in_index: int = -1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        x = feats[self.in_index]
+        out = None
+        for i, d in enumerate(self.dilations):
+            y = nn.Conv(self.cfg.num_classes, (3, 3),
+                        padding=((d, d), (d, d)), kernel_dilation=(d, d),
+                        dtype=jnp.float32, name=f"branch{i}")(
+                x.astype(jnp.float32))
+            out = y if out is None else out + y
+        return out

@@ -78,6 +78,53 @@ class EncoderDecoder(nn.Module):
         return resize_bilinear(logits, img.shape[1:3]), feats
 
 
+class EventsEncoderDecoder(nn.Module):
+    """Early-fusion segmentor: channel-concat image+events into ONE backbone
+    (reference encoder_decoder.py:307-377 EventsEncoderDecoder)."""
+    cfg: SegmentorConfig = SegmentorConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        mit_cfg = MIT_VARIANTS[self.cfg.backbone]
+        mit_cfg = type(mit_cfg)(**{**mit_cfg.__dict__,
+                                   "drop_path_rate": self.cfg.drop_path_rate})
+        self.backbone = MixVisionTransformer(mit_cfg, dtype=self.dtype,
+                                             remat=self.cfg.remat)
+        self.decode_head = DAFormerHead(self.cfg.head, dtype=self.dtype)
+
+    def extract_feat(self, image, events, train: bool = False):
+        x = jnp.concatenate([image, events], axis=-1).astype(self.dtype)
+        return self.backbone(x, train)
+
+    def __call__(self, image, events, train: bool = False):
+        feats = self.extract_feat(image, events, train)
+        logits = self.decode_head(feats, train)
+        return resize_bilinear(logits, image.shape[1:3])
+
+
+def multi_scale_flip_inference(apply_fn, img, *, scales=(1.0,),
+                               flip: bool = False):
+    """aug_test-equivalent (reference encoder_decoder.py:986-1003 +
+    inference :938-971): average softmax over scales (and horizontal flip),
+    all rescaled back to the input resolution, inside one traced program."""
+    b, h, w, c = img.shape
+    acc = None
+    n = 0
+    for s in scales:
+        sh, sw = int(round(h * s)), int(round(w * s))
+        x = resize_bilinear(img, (sh, sw)) if (sh, sw) != (h, w) else img
+        variants = [x] + ([x[:, :, ::-1, :]] if flip else [])
+        for vi, v in enumerate(variants):
+            logits = apply_fn(v)
+            logits = resize_bilinear(logits, (h, w))
+            sm = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            if vi == 1:  # un-flip
+                sm = sm[:, :, ::-1, :]
+            acc = sm if acc is None else acc + sm
+            n += 1
+    return acc / n
+
+
 class FusionEncoderDecoder(nn.Module):
     """Dual-backbone image+events segmentor with feature-level fusion."""
     cfg: SegmentorConfig = SegmentorConfig()

@@ -59,3 +59,42 @@ def charbonnier_loss(pred: jax.Array, target: jax.Array,
     """Robust L1 (Charbonnier): mean(sqrt(diff^2 + eps^2))."""
     diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
     return jnp.mean(jnp.sqrt(diff * diff + eps * eps))
+
+
+def weighted_binary_cross_entropy(logits: jax.Array, labels: jax.Array,
+                                  weight: jax.Array | None = None,
+                                  ignore_index: int = 255) -> jax.Array:
+    """BCE-with-logits over one-hot-expanded labels (the reference's
+    binary_cross_entropy path, cross_entropy_loss.py:59-99): ignored pixels
+    contribute zero, mean over all elements."""
+    num_classes = logits.shape[-1]
+    valid = labels != ignore_index
+    onehot = jax.nn.one_hot(jnp.where(valid, labels, 0), num_classes)
+    logits = logits.astype(jnp.float32)
+    loss = (jnp.maximum(logits, 0) - logits * onehot
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    loss = loss * valid[..., None].astype(jnp.float32)
+    if weight is not None:
+        loss = loss * weight[..., None].astype(jnp.float32)
+    return jnp.mean(loss)
+
+
+def ohem_weights(logits: jax.Array, labels: jax.Array, *,
+                 thresh: float | None = 0.7, min_kept: int = 100000,
+                 ignore_index: int = 255) -> jax.Array:
+    """Online Hard Example Mining pixel weights (reference
+    mmseg/core/seg/sampler/ohem_pixel_sampler.py): per image, select valid
+    pixels whose GT-class probability is below a threshold, keeping at least
+    ``min_kept`` hardest ones. Returns a 0/1 weight map [B, H, W]."""
+    b = logits.shape[0]
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    gt_prob = jnp.take_along_axis(prob, safe[..., None], axis=-1)[..., 0]
+    gt_prob = jnp.where(valid, gt_prob, jnp.inf)
+    flat = gt_prob.reshape(b, -1)
+    k = min(min_kept, flat.shape[1])
+    kth = jnp.sort(flat, axis=1)[:, k - 1]           # per-image k-th prob
+    cutoff = jnp.maximum(kth, thresh if thresh is not None else 0.0)
+    sel = flat <= cutoff[:, None]
+    return (sel.reshape(labels.shape) & valid).astype(jnp.float32)

@@ -1,0 +1,55 @@
+"""Profiling / tracing utilities (the reference has none — SURVEY §5.1).
+
+``trace(dir)``: context manager around jax.profiler (view in XProf/
+TensorBoard). ``StepTimer``: wall-clock per-step stats with device sync.
+``device_memory_stats``: live HBM usage of the default device.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Accumulates synchronized per-step wall times."""
+
+    def __init__(self):
+        self.times: list[float] = []
+        self._t0 = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self, result=None):
+        if result is not None:
+            jax.block_until_ready(result)
+        self.times.append(time.perf_counter() - self._t0)
+
+    def summary(self) -> dict:
+        if not self.times:
+            return {}
+        ts = sorted(self.times)
+        n = len(ts)
+        return {"mean_s": sum(ts) / n, "p50_s": ts[n // 2],
+                "min_s": ts[0], "max_s": ts[-1], "steps": n}
+
+
+def device_memory_stats(device=None) -> dict:
+    dev = device or jax.devices()[0]
+    stats = getattr(dev, "memory_stats", lambda: None)()
+    if not stats:
+        return {}
+    return {"bytes_in_use": stats.get("bytes_in_use"),
+            "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+            "bytes_limit": stats.get("bytes_limit")}
