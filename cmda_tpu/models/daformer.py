@@ -159,13 +159,17 @@ class DAFormerFusionHead(nn.Module):
     share: str = "full"
     split_cls: bool = False
     events_classes: int | None = None
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.decoder_image = DAFormerDecoder(self.cfg, dtype=self.dtype)
+        dec_cls = (nn.remat(DAFormerDecoder, static_argnums=(2,),
+                            prevent_cse=False)
+                   if self.remat else DAFormerDecoder)
+        self.decoder_image = dec_cls(self.cfg, dtype=self.dtype)
         if self.share == "none":
-            self.decoder_events = DAFormerDecoder(self.cfg, dtype=self.dtype)
-            self.decoder_fusion = DAFormerDecoder(self.cfg, dtype=self.dtype)
+            self.decoder_events = dec_cls(self.cfg, dtype=self.dtype)
+            self.decoder_fusion = dec_cls(self.cfg, dtype=self.dtype)
         self.cls = Classifier(self.cfg.num_classes, self.cfg.dropout_ratio,
                               dtype=self.dtype)
         if self.split_cls:

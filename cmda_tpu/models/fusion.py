@@ -151,7 +151,12 @@ FUSION_REGISTRY = {
 }
 
 
-def build_fusion_module(kind: str, dtype=jnp.float32, name: str | None = None):
+def build_fusion_module(kind: str, dtype=jnp.float32, name: str | None = None,
+                        remat: bool = False):
     if kind in ("", "none", None):
         return None
-    return FUSION_REGISTRY[kind](dtype=dtype, name=name)
+    cls = FUSION_REGISTRY[kind]
+    if remat:
+        # __call__(self, image_feats, events_feats, train): train is arg 3
+        cls = nn.remat(cls, static_argnums=(3,), prevent_cse=False)
+    return cls(dtype=dtype, name=name)

@@ -138,12 +138,15 @@ class FusionEncoderDecoder(nn.Module):
                                                     remat=self.cfg.remat)
         self.backbone_events = MixVisionTransformer(mit_cfg, dtype=self.dtype,
                                                     remat=self.cfg.remat)
-        self.fusion_module = build_fusion_module(self.cfg.fusion, self.dtype)
-        self.fusion_isr_module = build_fusion_module(self.cfg.fusion_isr, self.dtype)
+        self.fusion_module = build_fusion_module(
+            self.cfg.fusion, self.dtype, remat=self.cfg.remat)
+        self.fusion_isr_module = build_fusion_module(
+            self.cfg.fusion_isr, self.dtype, remat=self.cfg.remat)
         self.decode_head = DAFormerFusionHead(
             self.cfg.head, share=self.cfg.share_decoder,
             split_cls=self.cfg.split_cls,
-            events_classes=self.cfg.events_classes, dtype=self.dtype)
+            events_classes=self.cfg.events_classes, remat=self.cfg.remat,
+            dtype=self.dtype)
 
     def extract_feat(self, image, events, img_self_res=None,
                      mode: str = "default", train: bool = False):

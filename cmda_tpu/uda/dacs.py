@@ -369,26 +369,35 @@ class DACSTrainer:
                 logits, labels, seg_weights, w_image=weights["w_image"],
                 w_events=weights["w_events"], factor=factor)
 
-        def loss_fn(params):
-            logs = {}
-            # ③ source supervised step
-            src_mode = "default"
-            if train_type == "cs2dsec_image+events_together":
-                src_in = (day_image, day_events, day_isr)
-                src_mode = ("fusion_all" if u.fuse_both_ice_and_e else
-                            "default")
-            elif train_type == "cs2dsec_image+events":
-                second = jnp.where(use_events, day_events, day_isr)
-                src_in = (day_image, second, None)
-            elif d2n_type:
-                src_in = (day_image, day_pair_isr, None)
-            elif nofusion_type:
-                src_in = (day_image, day_isr, None)
-                src_mode = "no_fusion"
-            else:  # raw-isr / split: ISR plays the events role
-                src_in = (day_image, day_isr, None)
+        # The source and mixed losses are differentiated SEPARATELY and the
+        # gradients summed — same math as one total loss, but the two
+        # backward passes are sequenced so their activations never coexist
+        # (the reference's backward #1/#3 split, dacs.py:523/860; one fused
+        # loss OOMs a 16G chip on the b5 recipe).
+        src_mode = "default"
+        if train_type == "cs2dsec_image+events_together":
+            src_in = (day_image, day_events, day_isr)
+            src_mode = "fusion_all" if u.fuse_both_ice_and_e else "default"
+            mix_in = (mixed_img, mixed_events, mixed_isr)
+        elif train_type == "cs2dsec_image+events":
+            src_in = (day_image,
+                      jnp.where(use_events, day_events, day_isr), None)
+            mix_in = (mixed_img,
+                      jnp.where(use_events, mixed_events, mixed_isr), None)
+        elif d2n_type:
+            src_in = (day_image, day_pair_isr, None)
+            mix_in = (mixed_img, mixed_isr, None)
+        elif nofusion_type:
+            src_in = (day_image, day_isr, None)
+            src_mode = "no_fusion"
+            mix_in = (mixed_img, mixed_isr, None)
+        else:  # raw-isr / split: ISR plays the events role
+            src_in = (day_image, day_isr, None)
+            mix_in = (mixed_img, mixed_isr, None)
+
+        def src_loss_fn(params, bstats):
             logits_src, feats_src, bstats1 = forward_train(
-                params, state.batch_stats, *src_in, src_mode)
+                params, bstats, *src_in, src_mode)
             if split_type:
                 loss_src, logs_src = stream_losses(
                     logits_src, {"image": day_label, "events": day_label},
@@ -406,19 +415,19 @@ class DACSTrainer:
             else:
                 loss_src, logs_src = multi_stream_loss(
                     logits_src, day_label, None, **weights)
-            logs.update({f"src/{k}": v for k, v in logs_src.items()})
+            logs = {f"src/{k}": v for k, v in logs_src.items()}
+            # ④ ImageNet feature distance rides the source graph
+            if self.enable_fdist:
+                fd = self._fdist_loss(state, feats_src["f_image"],
+                                      day_image, day_label)
+                logs["src/loss_imnet_feat_dist"] = fd
+                loss_src = loss_src + fd
+            return loss_src, (bstats1, logs)
 
-            # ⑦ mixed-domain step
-            mix_consistency = 0.0
-            if train_type == "cs2dsec_image+events_together":
-                mix_in = (mixed_img, mixed_events, mixed_isr)
-            elif train_type == "cs2dsec_image+events":
-                second = jnp.where(use_events, mixed_events, mixed_isr)
-                mix_in = (mixed_img, second, None)
-            else:
-                mix_in = (mixed_img, mixed_isr, None)
+        def mix_loss_fn(params, bstats):
             logits_mix, feats_mix, bstats2 = forward_train(
-                params, bstats1, *mix_in, src_mode)
+                params, bstats, *mix_in, src_mode)
+            logs = {}
             if split_type:
                 loss_mix, logs_mix = stream_losses(
                     logits_mix, {"image": mixed_lbl, "events": mixed_lbl2},
@@ -434,33 +443,35 @@ class DACSTrainer:
                     logits_mix, {"image": mixed_lbl, "events": ev_lbl},
                     {"image": mixed_weight, "events": mixed_weight}, 1.0)
                 # ISR-feature consistency (reference dacs.py:807-819 +
-                # encoder_decoder.py:833-848): f_image of the mixed forward
-                # pulled toward frozen f_events(mixed_isr)
+                # encoder_decoder.py:833-848)
                 f_isr = self.model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     None, mixed_isr, None, mode="no_fusion", train=False,
                     method=self.model.extract_feat)["f_events"]
-                mix_consistency = feature_consistency_loss(
+                consistency = feature_consistency_loss(
                     feats_mix["f_image"], f_isr,
                     u.lambda_feature_consistency) * u.lambda_isr_features
-                logs["mix/loss_feat_consis"] = mix_consistency
+                logs["mix/loss_feat_consis"] = consistency
+                loss_mix = loss_mix + consistency
             else:
                 loss_mix, logs_mix = multi_stream_loss(
                     logits_mix, mixed_lbl, mixed_weight, **weights)
             logs.update({f"mix/{k}": v for k, v in logs_mix.items()})
+            return loss_mix, (bstats2, logs)
 
-            total = loss_src + loss_mix + mix_consistency
-            # ④ ImageNet feature distance
-            if self.enable_fdist:
-                fd = self._fdist_loss(state, feats_src["f_image"],
-                                      day_image, day_label)
-                logs["src/loss_imnet_feat_dist"] = fd
-                total = total + fd
-            logs["loss"] = total
-            return total, (bstats2, logs)
-
-        (loss, (new_bstats, logs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        (loss_src, (bstats1, logs_src)), grads_src = jax.value_and_grad(
+            src_loss_fn, has_aux=True)(state.params, state.batch_stats)
+        # Barrier: tie the mixed-step inputs to the finished source
+        # gradients so XLA cannot interleave the two backward passes — the
+        # source activations are dead before the mixed forward starts.
+        grads_src, mix_in, mixed_lbl, mixed_weight, bstats1 = \
+            jax.lax.optimization_barrier(
+                (grads_src, mix_in, mixed_lbl, mixed_weight, bstats1))
+        (loss_mix, (new_bstats, logs_mix)), grads_mix = jax.value_and_grad(
+            mix_loss_fn, has_aux=True)(state.params, bstats1)
+        loss = loss_src + loss_mix
+        logs = {**logs_src, **logs_mix, "loss": loss}
+        grads = jax.tree.map(jnp.add, grads_src, grads_mix)
         updates, new_opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
         new_params = jax.tree.map(lambda p, up: p + up, state.params, updates)
