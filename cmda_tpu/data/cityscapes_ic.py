@@ -30,15 +30,39 @@ class CityscapesICDataset:
                  image_crop_size=(512, 512), isr_params=None,
                  shift_type: str = "random",
                  outputs=("image", "img_time_res", "img_self_res", "label"),
-                 rcs_file_list=None):
+                 rcs_file_list=None,
+                 isr_noise: bool = False, isr_cow_mask: bool = False,
+                 flare_dir: str | None = None,
+                 sky_noise_dir: str | None = None, sky_mask: bool = False,
+                 shift_3_channel: bool = False):
+        """Source-ISR augmentation knobs mirror the reference dataset
+        (cityscapes_ic.py:38-45, 243-336): ``isr_noise`` blur+speckle,
+        ``isr_cow_mask`` CowMix erase, ``flare_dir`` lens-flare composite
+        onto the image crop, ``sky_mask`` sky-region noise splice
+        (texture PNGs from ``sky_noise_dir`` when given),
+        ``shift_3_channel`` 3-channel multi-scale ISR — ``isr_params``
+        must then be a sequence of 3 param sets (cityscapes_ic.py:99-110)."""
         self.root = root
         self.resize = image_resize_size   # (W, H) PIL convention
         self.crop = image_crop_size
         self.outputs = set(outputs)
         self.shift_type = shift_type
-        p = isr_params
-        self.isr_kw = dict(val_range=p.val_range, threshold=p.threshold,
-                           clip_range=p.clip_range, shift_pixel=p.shift_pixel)
+        self.isr_noise = isr_noise
+        self.isr_cow_mask = isr_cow_mask
+        self.flare_dir = flare_dir
+        self.sky_noise_dir = sky_noise_dir
+        self.sky_mask = sky_mask or sky_noise_dir is not None
+        self.shift_3_channel = shift_3_channel
+
+        def kw(p):
+            return dict(val_range=p.val_range, threshold=p.threshold,
+                        clip_range=p.clip_range, shift_pixel=p.shift_pixel)
+
+        if shift_3_channel:
+            assert isinstance(isr_params, (list, tuple)) and len(isr_params) == 3
+            self.isr_kw = [kw(p) for p in isr_params]
+        else:
+            self.isr_kw = kw(isr_params)
         self.files = []
         img_root = os.path.join(root, "leftImg8bit", "train")
         if rcs_file_list is not None:
@@ -60,16 +84,20 @@ class CityscapesICDataset:
     def _label_path(image_path):
         return image_path.replace("leftImg8bit", "gtFine")[:-4] + "_labelTrainIds.png"
 
-    def load(self, idx: int, crop_xy=None, flip=None):
+    def load(self, idx: int, crop_xy=None, flip=None,
+             rng: random.Random | None = None):
         """One sample; crop_xy/flip may be forced (Rare Class Sampling
-        re-crops, reference uda_dataset.py:89-106)."""
+        re-crops, reference uda_dataset.py:89-106). ``rng`` is the
+        per-worker random.Random (race-free mirror of the reference's
+        worker seeding, builder.py:180-194)."""
+        r = rng if rng is not None else random
         path = self.files[idx]
         w_max = self.resize[0] - self.crop[0]
         h_max = self.resize[1] - self.crop[1]
         if crop_xy is None:
-            crop_xy = (random.randint(0, w_max), random.randint(0, h_max))
+            crop_xy = (r.randint(0, w_max), r.randint(0, h_max))
         if flip is None:
-            flip = random.random() < 0.5
+            flip = r.random() < 0.5
         x, y = crop_xy
         box = (x, y, x + self.crop[0], y + self.crop[1])
         out = {}
@@ -80,16 +108,22 @@ class CityscapesICDataset:
                 self.resize, resample=Image.BILINEAR).crop(box)
             if flip:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            if self.flare_dir is not None:
+                from .source_augs import flare_transform_np
+                img = flare_transform_np(img, self.flare_dir, r)
             crop_image = img
             if "image" in self.outputs:
                 out["image"] = normalize_image(img)
 
-        if "label" in self.outputs:
+        label_arr = None
+        if "label" in self.outputs or self.sky_mask:
             lbl = Image.open(self._label_path(path)).resize(
                 self.resize, resample=Image.NEAREST).crop(box)
             if flip:
                 lbl = lbl.transpose(Image.FLIP_LEFT_RIGHT)
-            out["label"] = np.asarray(lbl).astype(np.int32)
+            label_arr = np.asarray(lbl).astype(np.int32)
+            if "label" in self.outputs:
+                out["label"] = label_arr
 
         if "img_time_res" in self.outputs:
             ic = Image.open(self._ic_path(path)).convert("L").resize(
@@ -100,10 +134,34 @@ class CityscapesICDataset:
             out["img_time_res"] = np.repeat(arr[..., None], 3, axis=-1)
 
         if "img_self_res" in self.outputs:
-            direction = pick_shift_direction(self.shift_type, x, int(flip))
-            isr = host_image_change(crop_image, shift_direction=direction,
-                                    **self.isr_kw)
-            out["img_self_res"] = np.repeat(isr[..., None], 3, axis=-1)
+            if self.shift_3_channel:
+                # 3-channel multi-scale ISR, default rightdown direction
+                # (reference cityscapes_ic.py:99-110, 225-231)
+                isr = np.stack([
+                    host_image_change(crop_image, shift_direction="rightdown",
+                                      **kw) for kw in self.isr_kw], axis=-1)
+            else:
+                direction = pick_shift_direction(self.shift_type, x, int(flip))
+                isr = host_image_change(crop_image, shift_direction=direction,
+                                        **self.isr_kw)
+            if self.sky_mask and label_arr is not None and isr.ndim == 2:
+                from .source_augs import sky_mask_transform_np
+                isr = sky_mask_transform_np(isr, label_arr, r,
+                                            noise_dir=self.sky_noise_dir)
+            if self.isr_noise:
+                from .source_augs import isr_noise_np
+                if isr.ndim == 2:
+                    isr = isr_noise_np(isr, r)
+                else:
+                    isr = np.stack([isr_noise_np(isr[..., i], r)
+                                    for i in range(isr.shape[-1])], axis=-1)
+            if self.isr_cow_mask:
+                from .source_augs import cow_mask_np
+                mask = cow_mask_np(isr.shape[:2], r)
+                isr = isr * (mask if isr.ndim == 2 else mask[..., None])
+            if isr.ndim == 2:
+                isr = np.repeat(isr[..., None], 3, axis=-1)
+            out["img_self_res"] = isr.astype(np.float32)
 
         return out
 

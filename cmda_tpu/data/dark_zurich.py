@@ -63,16 +63,18 @@ class DarkZurichDataset:
         return image_path.replace("rgb_anon", "gt").replace(
             "_gt", "_gt_labelTrainIds")
 
-    def load(self, idx: int):
+    def load(self, idx: int, rng: random.Random | None = None):
+        """``rng``: per-worker random.Random (race-free worker seeding)."""
+        r = rng if rng is not None else random
         path = self.files[idx]
         test_mode = self.split != "train"
         out = {}
         img_pil = Image.open(path).convert("RGB").resize(
             self.resize, resample=Image.BILINEAR)
         if not test_mode:
-            x = random.randint(0, self.resize[0] - self.crop[0])
-            y = random.randint(0, self.resize[1] - self.crop[1])
-            flip = random.random() < 0.5
+            x = r.randint(0, self.resize[0] - self.crop[0])
+            y = r.randint(0, self.resize[1] - self.crop[1])
+            flip = r.random() < 0.5
             box = (x, y, x + self.crop[0], y + self.crop[1])
 
         if "image" in self.outputs:
@@ -101,8 +103,33 @@ class DarkZurichDataset:
                 lbl_pil = lbl_pil.resize(self.resize, resample=Image.NEAREST)
             out["label"] = np.asarray(lbl_pil).astype(np.int32)
 
+        if "image_deflare" in self.outputs or "isr_deflare" in self.outputs:
+            # flare-removed night frames live beside the originals in a
+            # night_deflare tree (reference dark_zurich_ic.py:61-62,181-218)
+            df_path = path.replace("night", "night_deflare")
+            df_pil = Image.open(df_path).convert("RGB").resize(
+                self.resize, resample=Image.BILINEAR)
+            if "image_deflare" in self.outputs:
+                img = df_pil
+                if not test_mode:
+                    img = img.crop(box)
+                    if flip:
+                        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+                out["image_deflare"] = normalize_image(img)
+            if "isr_deflare" in self.outputs:
+                direction = (pick_shift_direction(self.shift_type, x, y)
+                             if not test_mode else
+                             pick_shift_direction(self.shift_type, 0, 0))
+                isr = host_image_change(df_pil, shift_direction=direction,
+                                        **self.isr_kw)
+                if not test_mode:
+                    isr = isr[y: y + self.crop[1], x: x + self.crop[0]]
+                    if flip:
+                        isr = np.ascontiguousarray(isr[:, ::-1])
+                out["isr_deflare"] = np.repeat(isr[..., None], 3, axis=-1)
+
         if self.with_day_pair and self.day_files and not test_mode:
-            didx = random.randint(0, len(self.day_files) - 1)
+            didx = r.randint(0, len(self.day_files) - 1)
             day_pil = Image.open(self.day_files[didx]).convert("RGB").resize(
                 self.resize, resample=Image.BILINEAR)
             day = day_pil.crop(box)

@@ -145,14 +145,18 @@ class DSECDataset:
         return host_events_norm(grid, clip)
 
     # ---------------- samples ----------------
-    def load(self, idx: int):
+    def load(self, idx: int, rng: random.Random | None = None):
+        """``rng`` is the per-worker random.Random (deterministic, race-free
+        mirror of the reference's worker_init_fn seeding, builder.py:180-194);
+        falls back to the module RNG for ad-hoc single-threaded use."""
+        r = rng if rng is not None else random
         image_path = str(self.rows[idx][0])
         now_index = int(os.path.basename(image_path).split(".")[0])
         out = {}
         if not self.test_mode:
-            flip = random.random() < 0.5
-            x = random.randint(0, self.WIDTH - self.crop[0])
-            y = random.randint(0, self.HEIGHT - self.crop[1])
+            flip = r.random() < 0.5
+            x = r.randint(0, self.WIDTH - self.crop[0])
+            y = r.randint(0, self.HEIGHT - self.crop[1])
             box = (x, y, x + self.crop[0], y + self.crop[1])
 
         warp_path = image_path.replace("images/left/rectified", "warp_images")

@@ -44,6 +44,24 @@ def _shift(gray, s, direction):
     return np.concatenate([gray[s:, :], gray[h - s:, :]], axis=0)
 
 
+def host_image_change_numpy(gray, *, val_range, threshold, clip_range,
+                            shift_pixel=1, shift_direction="rightdown"):
+    """Pure-numpy ISR core on an (H, W) float32 grayscale array.
+
+    Kept native-free so tests can pit the C++ kernel against it
+    (the independent oracle — see tests/test_native.py)."""
+    def ic(now):
+        return host_get_ic(gray, now, val_range, threshold, clip_range)
+
+    s = shift_pixel
+    if shift_direction == "all":
+        return (ic(_shift(gray, s, "up")) + ic(_shift(gray, s, "left"))
+                + ic(_shift(gray, s, "down")) + ic(_shift(gray, s, "right"))) / 4.0
+    row = "left" if "left" in shift_direction else "right"
+    col = "up" in shift_direction and "up" or "down"
+    return ic(_shift(gray, s, row)) / 2.0 + ic(_shift(gray, s, col)) / 2.0
+
+
 def host_image_change(pil_image, *, val_range, threshold, clip_range,
                       shift_pixel=1, shift_direction="rightdown"):
     """PIL image -> ISR float32 (H, W) in [-1, 1].
@@ -59,17 +77,9 @@ def host_image_change(pil_image, *, val_range, threshold, clip_range,
                           clip_range=clip_range, shift_pixel=shift_pixel,
                           direction=shift_direction)
     gray = np.array(pil_image.convert("L"), dtype=np.float32)
-
-    def ic(now):
-        return host_get_ic(gray, now, val_range, threshold, clip_range)
-
-    s = shift_pixel
-    if shift_direction == "all":
-        return (ic(_shift(gray, s, "up")) + ic(_shift(gray, s, "left"))
-                + ic(_shift(gray, s, "down")) + ic(_shift(gray, s, "right"))) / 4.0
-    row = "left" if "left" in shift_direction else "right"
-    col = "up" in shift_direction and "up" or "down"
-    return ic(_shift(gray, s, row)) / 2.0 + ic(_shift(gray, s, col)) / 2.0
+    return host_image_change_numpy(
+        gray, val_range=val_range, threshold=threshold, clip_range=clip_range,
+        shift_pixel=shift_pixel, shift_direction=shift_direction)
 
 
 def pick_shift_direction(shift_type: str, a: int, b: int) -> str:

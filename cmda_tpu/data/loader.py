@@ -27,33 +27,50 @@ class PrefetchLoader:
     """Infinite batched loader with background workers.
 
     dataset[i] -> nested dict of numpy arrays. Batches are drawn with
-    replacement over the dataset (iteration-based training)."""
+    replacement over the dataset (iteration-based training).
+
+    Deterministic given (seed, num_workers): each worker owns a private
+    seeded RNG and its own bounded queue; the consumer round-robins across
+    worker queues, so the batch stream never depends on thread scheduling —
+    the same delivery discipline as torch's DataLoader with seeded workers
+    (reference mmseg/datasets/builder.py:180-194)."""
 
     def __init__(self, dataset, batch_size: int, *, num_workers: int = 4,
                  prefetch: int = 4, seed: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
-        self.queue: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._seed = seed
+        n_workers = max(num_workers, 1)
+        self.queues = [queue.Queue(maxsize=max(prefetch, 1))
+                       for _ in range(n_workers)]
+        self._next_q = 0
         self.workers = [
             threading.Thread(target=self._worker, args=(w,), daemon=True)
-            for w in range(max(num_workers, 1))]
+            for w in range(n_workers)]
         for w in self.workers:
             w.start()
 
     def _worker(self, wid: int):
         rng = random.Random(self._seed * 1000 + wid)
         n = len(self.dataset)
+        out = self.queues[wid]
+        # datasets expose load(idx, rng=...) so every random draw (crop,
+        # flip, RCS pick) comes from this worker's private stream — the
+        # reference seeds torch workers the same way (builder.py:180-194)
+        fetch = getattr(self.dataset, "load", None)
         while not self._stop.is_set():
             idxs = [rng.randrange(n) for _ in range(self.batch_size)]
             try:
-                batch = collate([self.dataset[i] for i in idxs])
+                if fetch is not None:
+                    batch = collate([fetch(i, rng=rng) for i in idxs])
+                else:
+                    batch = collate([self.dataset[i] for i in idxs])
             except Exception as e:  # surface loader errors to the consumer
                 batch = e
             while not self._stop.is_set():
                 try:
-                    self.queue.put(batch, timeout=0.5)
+                    out.put(batch, timeout=0.5)
                     break
                 except queue.Full:
                     continue
@@ -62,13 +79,21 @@ class PrefetchLoader:
         return self
 
     def __next__(self):
-        item = self.queue.get()
+        item = self.queues[self._next_q].get()
+        self._next_q = (self._next_q + 1) % len(self.queues)
         if isinstance(item, Exception):
             raise item
         return item
 
     def close(self):
         self._stop.set()
+        # drain so workers blocked on put() can observe _stop and exit
+        for q in self.queues:
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 def device_put_batch(batch, sharding=None):

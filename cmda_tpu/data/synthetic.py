@@ -24,7 +24,7 @@ class SyntheticSource:
     def __len__(self):
         return self.length
 
-    def load(self, idx, crop_xy=None, flip=None):
+    def load(self, idx, crop_xy=None, flip=None, rng=None):
         g = np.random.default_rng(self.seed * 100003 + idx)
         img = g.normal(size=(self.h, self.w, 3)).astype(np.float32)
         label = g.integers(0, self.num_classes,
@@ -63,7 +63,7 @@ class SyntheticTarget:
     def __len__(self):
         return self.length
 
-    def load(self, idx):
+    def load(self, idx, rng=None):
         g = np.random.default_rng(self.seed * 100003 + idx)
         out = {
             "image": g.normal(size=(self.h, self.w, 3)).astype(np.float32),

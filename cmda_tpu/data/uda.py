@@ -72,29 +72,35 @@ class UDAPairDataset:
     def __len__(self):
         return max(len(self.source), 1)
 
-    def _rcs_source_sample(self):
-        c = int(self.rng.choices(list(self.rcs_classes),
-                                 weights=list(self.rcs_probs))[0])
+    def _rcs_source_sample(self, rng: random.Random):
+        c = int(rng.choices(list(self.rcs_classes),
+                            weights=list(self.rcs_probs))[0])
         candidates = self.samples_with_class.get(c, [])
         if not candidates:
-            return self.source.load(self.rng.randrange(len(self.source)))
-        fname, _ = self.rng.choice(candidates)
+            return self.source.load(rng.randrange(len(self.source)), rng=rng)
+        fname, _ = rng.choice(candidates)
         # label files map back to image files (strip gtFine suffix)
         key = fname.replace("_gtFine_labelTrainIds.png", "_leftImg8bit.png")
         idx = self.file_to_idx.get(key)
         if idx is None:
-            idx = self.rng.randrange(len(self.source))
+            idx = rng.randrange(len(self.source))
         for _ in range(10):
-            sample = self.source.load(idx)
+            sample = self.source.load(idx, rng=rng)
             n = int(np.sum(sample["label"] == c))
             if n >= self.min_pixels * self.min_crop_ratio:
                 break
         return sample
 
-    def __getitem__(self, idx):
+    def load(self, idx, rng: random.Random | None = None):
+        """``rng``: per-worker random.Random; defaults to the dataset-level
+        RNG (single-threaded use)."""
+        r = rng if rng is not None else self.rng
         if self.rcs:
-            src = self._rcs_source_sample()
+            src = self._rcs_source_sample(r)
         else:
-            src = self.source.load(idx % len(self.source))
-        tgt = self.target.load(self.rng.randrange(max(len(self.target), 1)))
+            src = self.source.load(idx % len(self.source), rng=r)
+        tgt = self.target.load(r.randrange(max(len(self.target), 1)), rng=r)
         return {"source": src, "target": tgt}
+
+    def __getitem__(self, idx):
+        return self.load(idx)

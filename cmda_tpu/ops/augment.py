@@ -36,32 +36,46 @@ from .normalize import IMAGENET_MEAN, IMAGENET_STD, denorm_image, renorm_image
 def sample_class_half(rng: jax.Array, batch_labels: jax.Array,
                       num_classes: int = 19,
                       ignore_index: int = 255) -> jax.Array:
-    """Pick a random ~half of the label ids present in the batch.
+    """Pick, independently per sample, a random ~half of the label ids
+    present in the *batch*.
 
-    Returns a bool vector over ``num_classes + 1`` ids (last slot = the
-    ignore id, which torch.unique also surfaces and can be selected).
+    Returns a bool matrix [B, num_classes + 1] (last slot = the ignore id,
+    which torch.unique also surfaces and can be selected). The present-set
+    is computed over the whole batch — a reference quirk
+    (``torch.unique(labels)`` at dacs_transforms.py:104 uses the batch) —
+    but the ceil(n/2)-subset is drawn independently per sample, matching
+    the per-image ``np.random.choice`` at dacs_transforms.py:106-108.
     Selection: rank present ids by iid uniform scores; keep ranks
     < ceil(n_present / 2).
     """
+    batch = batch_labels.shape[0]
     ids = jnp.concatenate(
         [jnp.arange(num_classes), jnp.asarray([ignore_index])])
     present = jnp.any(
         batch_labels[..., None] == ids[None, None, None, :], axis=(0, 1, 2))
     n_present = jnp.sum(present)
     k = (n_present + n_present % 2) // 2  # == ceil(n/2)
-    scores = jax.random.uniform(rng, ids.shape)
-    scores = jnp.where(present, scores, -jnp.inf)
-    # rank r_i = number of scores strictly greater than score_i
-    rank = jnp.sum(scores[None, :] > scores[:, None], axis=1)
-    return present & (rank < k)
+    scores = jax.random.uniform(rng, (batch,) + ids.shape)
+    scores = jnp.where(present[None, :], scores, -jnp.inf)
+    # per-sample rank r_bi = number of scores strictly greater than score_bi
+    rank = jnp.sum(scores[:, None, :] > scores[:, :, None], axis=2)
+    return present[None, :] & (rank < k)
 
 
 def class_mix_mask(labels: jax.Array, selected: jax.Array,
                    num_classes: int = 19, ignore_index: int = 255) -> jax.Array:
-    """Per-pixel bool mask: label id is one of the selected ids. [B, H, W]."""
+    """Per-pixel bool mask: label id is one of the selected ids. [B, H, W].
+
+    ``selected`` may be [num_classes + 1] (one subset for the batch) or
+    [B, num_classes + 1] (per-sample subsets, the reference semantics).
+    """
     idx = jnp.where(labels == ignore_index, num_classes, labels)
     idx = jnp.clip(idx, 0, num_classes)
-    return jnp.take(selected, idx)
+    if selected.ndim == 1:
+        return jnp.take(selected, idx)
+    b = labels.shape[0]
+    flat = jnp.take_along_axis(selected, idx.reshape(b, -1), axis=1)
+    return flat.reshape(labels.shape)
 
 
 def one_mix(mask: jax.Array, source: jax.Array, target: jax.Array) -> jax.Array:
@@ -181,6 +195,42 @@ def maybe_gaussian_blur(img: jax.Array, sigma: jax.Array, apply: jax.Array) -> j
     k = (reference_blur_kernel_size(img.shape[1]),
          reference_blur_kernel_size(img.shape[2]))
     return jnp.where(apply, gaussian_blur(img, sigma, k), img)
+
+
+# ---------------------------------------------------------------------------
+# ISR noise (reference mmseg/models/utils/dacs_transforms.py:186-211)
+# ---------------------------------------------------------------------------
+
+def add_noise_on_isr(rng: jax.Array, isr: jax.Array,
+                     transform_type: str = "noise+blur") -> jax.Array:
+    """Degrade an ISR batch [B, H, W, C] in [-1, 1] on device.
+
+    'blur': with p=0.5 (per batch, as in the reference which draws one
+    torch.rand(1) per call), 2x average-pool then bilinear-resize back.
+    'noise': zero out pixels where |N(0,1)| < U(1.0,1.5) (per-sample
+    threshold), then add gaussian noise of intensity U(0.1,0.3) on pixels
+    where |N(0,1)| < U(0.4,0.6); clip to [-1, 1].
+    """
+    b, h, w, c = isr.shape
+    k_gate, k_d, k_dm, k_r, k_ri, k_rm, k_rn = jax.random.split(rng, 7)
+    out = isr
+    if "blur" in transform_type:
+        small = jax.lax.reduce_window(
+            out, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+        from .resize import resize_bilinear
+        blurred = resize_bilinear(small, (h, w))
+        out = jnp.where(jax.random.uniform(k_gate) < 0.5, blurred, out)
+    if "noise" in transform_type:
+        shp = (b, 1, 1, 1)
+        dis_thr = jax.random.uniform(k_d, shp, minval=1.0, maxval=1.5)
+        disappear = jnp.abs(jax.random.normal(k_dm, out.shape)) < dis_thr
+        out = out * disappear
+        rnd_thr = jax.random.uniform(k_r, shp, minval=0.4, maxval=0.6)
+        intensity = jax.random.uniform(k_ri, shp, minval=0.1, maxval=0.3)
+        rnd_mask = jnp.abs(jax.random.normal(k_rm, out.shape)) < rnd_thr
+        out = out + jax.random.normal(k_rn, out.shape) * intensity * rnd_mask
+        out = jnp.clip(out, -1.0, 1.0)
+    return out
 
 
 # ---------------------------------------------------------------------------

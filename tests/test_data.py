@@ -208,6 +208,94 @@ def test_uda_pair_and_loader():
     loader.close()
 
 
+def test_loader_deterministic_per_seed(dsec_root):
+    """Per-worker rng threading: same seed => identical sample stream, and
+    no draw touches the global random module (race-free)."""
+    import random as _random
+    ds = DSECDataset(dsec_root, events_bins=1, crop_size=(400, 400),
+                     after_crop_resize_size=(128, 128), isr_params=ISR,
+                     outputs=("image", "isr"))
+    state_before = _random.getstate()
+    a = ds.load(0, rng=_random.Random(123))
+    b = ds.load(0, rng=_random.Random(123))
+    c = ds.load(0, rng=_random.Random(124))
+    assert _random.getstate() == state_before, "global RNG was touched"
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["isr"], b["isr"])
+    assert not np.array_equal(a["image"], c["image"])  # different crop/flip
+
+    # multi-worker loaders with equal seeds replay the same batch STREAM
+    # (round-robin delivery, independent of thread scheduling)
+    src = SyntheticSource(crop_size=(32, 32), length=8)
+    tgt = SyntheticTarget(crop_size=(32, 32), length=8)
+    pair = UDAPairDataset(src, tgt, seed=0)
+    l1 = PrefetchLoader(pair, batch_size=2, num_workers=3, prefetch=2, seed=7)
+    l2 = PrefetchLoader(pair, batch_size=2, num_workers=3, prefetch=2, seed=7)
+    for _ in range(5):
+        b1, b2 = next(l1), next(l2)
+        np.testing.assert_array_equal(b1["source"]["image"],
+                                      b2["source"]["image"])
+        np.testing.assert_array_equal(b1["target"]["image"],
+                                      b2["target"]["image"])
+    l1.close(), l2.close()
+
+
+def test_source_augs_numpy():
+    import random as _random
+    from cmda_tpu.data.source_augs import (
+        isr_noise_np, cow_mask_np, sky_mask_transform_np)
+    g = np.random.default_rng(0)
+    isr = np.clip(g.normal(size=(64, 64)), -1, 1).astype(np.float32)
+
+    r = _random.Random(0)
+    noisy = isr_noise_np(isr, r)
+    assert noisy.shape == isr.shape and np.abs(noisy).max() <= 1.0
+    assert not np.array_equal(noisy, isr)
+
+    mask = cow_mask_np((64, 64), _random.Random(1))
+    assert set(np.unique(mask)) <= {0.0, 1.0}
+    # prop_range (0.7, 0.7): masked fraction near 0.7
+    assert 0.4 < mask.mean() < 0.95
+
+    label = np.zeros((64, 64), np.int32)
+    label[:24] = 10  # sky on top
+    out = sky_mask_transform_np(isr, label, _random.Random(2))
+    assert out.shape == isr.shape and np.abs(out).max() <= 1.0
+    # sky region erased+noised, far-away pixels untouched
+    assert np.any(out[:24] != isr[:24])
+    np.testing.assert_array_equal(out[60:], isr[60:])
+    # no sky -> identity
+    np.testing.assert_array_equal(
+        sky_mask_transform_np(isr, np.zeros_like(label), _random.Random(3)),
+        isr)
+
+
+def test_cityscapes_ic_source_aug_options(cityscapes_root):
+    import random as _random
+    # 3-channel multi-scale ISR + noise + cow mask
+    triplet = [IsrParams((1.0, 10.0), 0.025, 0.05, 1),
+               IsrParams((1.0, 10.0), 0.030, 0.20, 3),
+               IsrParams((1.0, 10.0), 0.040, 0.32, 5)]
+    ds = CityscapesICDataset(
+        cityscapes_root, image_resize_size=(256, 128),
+        image_crop_size=(96, 96), isr_params=triplet, shift_3_channel=True,
+        isr_noise=True, isr_cow_mask=True)
+    s = ds.load(0, rng=_random.Random(0))
+    assert s["img_self_res"].shape == (96, 96, 3)
+    assert np.abs(s["img_self_res"]).max() <= 1.0
+    # channels differ (different shift scales)
+    assert not np.array_equal(s["img_self_res"][..., 0],
+                              s["img_self_res"][..., 2])
+
+    # sky-mask aug consumes the label even when not in outputs
+    ds2 = CityscapesICDataset(
+        cityscapes_root, image_resize_size=(256, 128),
+        image_crop_size=(96, 96), isr_params=ISR, sky_mask=True,
+        outputs=("image", "img_self_res"))
+    s2 = ds2.load(0, rng=_random.Random(1))
+    assert s2["img_self_res"].shape == (96, 96, 3)
+
+
 def test_rcs_pairing_with_synthetic():
     src = SyntheticSource(crop_size=(64, 64), length=4)
     tgt = SyntheticTarget(crop_size=(64, 64), length=4)

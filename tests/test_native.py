@@ -5,7 +5,7 @@ from PIL import Image
 
 from cmda_tpu import native
 from cmda_tpu.data.dsec import host_voxel_grid, host_events_norm
-from cmda_tpu.data.host_isr import host_image_change
+from cmda_tpu.data.host_isr import host_image_change_numpy
 
 pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="native toolchain unavailable")
@@ -46,13 +46,16 @@ def test_events_norm_matches_numpy():
 
 @pytest.mark.parametrize("direction", ["rightdown", "leftup", "all"])
 def test_isr_matches_numpy(direction):
+    """C++ kernel vs the native-free numpy core (independent oracle —
+    host_image_change itself would dispatch back to native)."""
     g = np.random.default_rng(2)
     rgb = g.integers(0, 256, (96, 128, 3)).astype(np.uint8)
-    pil = Image.fromarray(rgb)
-    ref = host_image_change(pil, val_range=(0.01, 1.01), threshold=0.005,
-                            clip_range=0.1, shift_pixel=2,
-                            shift_direction=direction)
+    gray_pil = np.array(Image.fromarray(rgb).convert("L"), dtype=np.float32)
+    ref = host_image_change_numpy(gray_pil, val_range=(0.01, 1.01),
+                                  threshold=0.005, clip_range=0.1,
+                                  shift_pixel=2, shift_direction=direction)
     gray = native.grayscale(rgb)
+    np.testing.assert_array_equal(gray, gray_pil)
     got = native.isr(gray, val_range=(0.01, 1.01), threshold=0.005,
                      clip_range=0.1, shift_pixel=2, direction=direction)
     np.testing.assert_allclose(got, ref, atol=2e-3)

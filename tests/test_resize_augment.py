@@ -52,14 +52,75 @@ def test_class_mix_semantics():
     ], dtype=np.int32))
     selected = sample_class_half(rng, labels)
     n_present = 8  # 7 classes + 255
+    assert selected.shape == (1, 20)
     assert int(jnp.sum(selected)) == n_present // 2
     mask = class_mix_mask(labels, selected)
     # every pixel whose class is selected must be masked
-    sel_ids = np.where(np.asarray(selected))[0]
+    sel_ids = np.where(np.asarray(selected)[0])[0]
     ids = list(range(19)) + [255]
     lbl = np.asarray(labels)
     expect = np.isin(lbl, [ids[i] for i in sel_ids])
     np.testing.assert_array_equal(np.asarray(mask), expect)
+
+
+def test_class_mix_per_sample_subsets():
+    """Subsets are drawn independently per sample (ref dacs_transforms.py:101-110)
+    while the present-set uses the whole batch (the torch.unique quirk)."""
+    # batch of 4 samples; classes 0..5 present only via sample 0, others
+    # carry a single class each -> present-set must still be the batch union
+    lbl = np.full((4, 8, 8), 7, dtype=np.int32)
+    lbl[0, :, :4] = np.arange(4)[:, None].repeat(2, 0).reshape(8, 1)[:8, :]
+    lbl[0, 0, :6] = [0, 1, 2, 3, 4, 5]
+    labels = jnp.asarray(lbl)
+    selected = sample_class_half(jax.random.PRNGKey(7), labels)
+    assert selected.shape == (4, 20)
+    present = np.isin(np.arange(19).tolist() + [255], np.unique(lbl))
+    sel = np.asarray(selected)
+    # each sample selects ceil(n_present/2) ids, all from the batch present-set
+    n_present = int(present.sum())
+    k = (n_present + n_present % 2) // 2
+    assert (sel.sum(axis=1) == k).all()
+    assert not sel[:, ~present].any()
+    # with 7 present ids and C(7, 4)=35 subsets, 4 iid draws almost surely
+    # differ; check across several keys to make flakiness impossible
+    diverse = False
+    for seed in range(5):
+        s = np.asarray(sample_class_half(jax.random.PRNGKey(seed), labels))
+        if len({tuple(row) for row in s}) > 1:
+            diverse = True
+            break
+    assert diverse, "per-sample subsets never differ within a batch"
+
+
+def test_class_mix_distribution_matches_torch_oracle():
+    """Marginal P(class selected) matches the reference get_class_masks."""
+    lbl = np.zeros((2, 16, 16), dtype=np.int32)
+    lbl[0] = np.random.default_rng(0).integers(0, 5, size=(16, 16))
+    lbl[1] = np.random.default_rng(1).integers(3, 8, size=(16, 16))
+    labels = jnp.asarray(lbl)
+
+    # torch oracle: re-derived from dacs_transforms.py:101-117
+    t_lbl = torch.as_tensor(lbl)
+    n_trials = 400
+    t_counts = np.zeros((2, 8))
+    rng_np = np.random.default_rng(42)
+    for _ in range(n_trials):
+        classes_all = torch.unique(t_lbl)
+        n = classes_all.shape[0]
+        for b in range(2):
+            choice = rng_np.choice(n, int((n + n % 2) / 2), replace=False)
+            chosen = classes_all[torch.as_tensor(choice).long()]
+            for c in chosen.numpy():
+                t_counts[b, c] += 1
+
+    j_counts = np.zeros((2, 8))
+    for t in range(n_trials):
+        s = np.asarray(sample_class_half(jax.random.PRNGKey(t), labels))
+        j_counts += s[:, :8]
+
+    # every present class has equal marginal selection prob = k/n
+    np.testing.assert_allclose(j_counts / n_trials, t_counts / n_trials,
+                               atol=0.1)
 
 
 def test_one_mix_blend():
