@@ -53,8 +53,8 @@ class UDAConfig:
     imnet_feature_dist_classes: Sequence[int] = (6, 7, 11, 12, 13, 14, 15, 16, 17, 18)
     imnet_feature_dist_scale_min_ratio: float = 0.75
     # variants
-    isr_another_fusion: bool = False
-    isr_no_fusion: bool = False
+    isr_another_fusion: bool = False          # ISR fused via fusion_isr module
+    isr_no_fusion: bool = False               # no fusion stream when ISR picked
     isr_edge: bool = False                    # raw-isr_no-fusion edge labels
     lambda_isr_features: float = 1.0
     fuse_both_ice_and_e: bool = False
@@ -63,6 +63,14 @@ class UDAConfig:
     lambda_feature_consistency: float = 0.25
     use_cyclegan_day_events: bool = True      # cyclegan_itrd2en
     use_pallas_isr: bool = True               # fused ISR kernel on TPU
+    # mixed-ISR ablations (reference dacs.py:735-756)
+    shift_3_channel: bool = False             # 3-channel multi-scale mixed ISR
+    isr_params_3: tuple[IsrParams, ...] = (   # the 'day' parameter triplet
+        IsrParams((1.0, 10.0), 0.025, 0.05, 1),
+        IsrParams((1.0, 10.0), 0.030, 0.20, 3),
+        IsrParams((1.0, 10.0), 0.040, 0.32, 5))
+    isr_noise_dacs_type: str = ""             # ''|'noise'|'blur'|'noise+blur'
+    deflare_aug: bool = False                 # teacher PL on deflared inputs
 
 
 @dataclass(frozen=True)
@@ -102,6 +110,13 @@ class DataConfig:
     target_isr: IsrParams = field(default_factory=IsrParams)
     shift_type: str = "random"
     workers: int = 4
+    # source ISR augmentations (reference cityscapes_ic.py:243-336)
+    isr_noise: bool = False
+    isr_cow_mask: bool = False
+    flare_dir: str | None = None
+    sky_noise_dir: str | None = None
+    sky_mask: bool = False
+    shift_3_channel: bool = False
 
 
 @dataclass(frozen=True)
@@ -115,6 +130,7 @@ class RunConfig:
     data: DataConfig = field(default_factory=DataConfig)
     eval_interval: int = 4000
     checkpoint_interval: int = 40000
+    checkpoint_max_keep: int = 1   # reference max_keep_ckpts
     log_interval: int = 50
     debug_img_interval: int = 500
     dtype: str = "float32"  # compute dtype for model ('bfloat16' on TPU)

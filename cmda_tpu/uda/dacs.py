@@ -37,7 +37,7 @@ from ..models.segmentor import FusionEncoderDecoder, EncoderDecoder
 from ..models.cyclegan import ResnetGenerator
 from ..ops.augment import (
     sample_class_half, class_mix_mask, one_mix, maybe_color_jitter_normalized,
-    maybe_gaussian_blur,
+    maybe_gaussian_blur, add_noise_on_isr,
 )
 from ..ops.isr import image_to_isr
 from ..ops.normalize import denorm_image
@@ -151,15 +151,21 @@ class DACSTrainer:
             lambda x: jax.lax.stop_gradient(x) if x is not None else None, out,
             is_leaf=lambda x: x is None)
 
-    def _mixed_isr(self, mixed_img, dir_idx):
+    def _mixed_isr(self, mixed_img, dir_idx, isr_params=None,
+                   force_dir: str | None = None):
         """Recompute the ISR of the (jittered/blurred) mixed image on-device
         (kills the reference's PIL round-trip, dacs.py:729-755).
 
         On TPU the shift/log-diff/renorm chain runs as one fused Pallas
         kernel (ops/pallas_kernels.py); elsewhere the jnp path."""
-        p = self.cfg.uda.isr_params
-        static_dir = (None if self.cfg.uda.shift_type == "random"
-                      else self.cfg.uda.shift_type)
+        p = isr_params if isr_params is not None else self.cfg.uda.isr_params
+        if dir_idx is None:
+            dir_idx = jnp.zeros((mixed_img.shape[0],), jnp.int32)
+        if force_dir is not None:
+            static_dir = force_dir
+        else:
+            static_dir = (None if self.cfg.uda.shift_type == "random"
+                          else self.cfg.uda.shift_type)
 
         if (self.cfg.uda.use_pallas_isr and jax.default_backend() == "tpu"
                 and static_dir != "all"):
@@ -187,6 +193,15 @@ class DACSTrainer:
             isr = jax.vmap(per_image)(mixed_img, dir_idx)
         return jnp.repeat(isr[..., None], 3, axis=-1)
 
+    def _mixed_isr_3ch(self, mixed_img):
+        """3-channel multi-scale mixed ISR (reference dacs.py:746-752 with
+        shift_3_channel: one get_image_change_from_pil per parameter set,
+        default rightdown direction, stacked as channels)."""
+        chans = [self._mixed_isr(mixed_img, None, isr_params=p,
+                                 force_dir="rightdown")[..., :1]
+                 for p in self.cfg.uda.isr_params_3]
+        return jnp.concatenate(chans, axis=-1)
+
     def _loss_weights(self):
         u = self.cfg.uda
         return dict(w_image=u.loss_weight_image, w_events=u.loss_weight_events,
@@ -210,13 +225,12 @@ class DACSTrainer:
             feats_image[-1], f_imnet, mask)
 
     # ------------------------------------------------------------------
-    # the fused step
+    # steps ①-⑥: inputs, EMA, pseudo-labels, ClassMix (shared by the
+    # fused train step and the debug-grid snapshot)
     # ------------------------------------------------------------------
-    def train_step(self, state: DACSTrainState, batch: dict, base_rng):
-        """One UDA iteration. batch:
-          source: {image, img_self_res, label[, img_time_res]}
-          target: {image, isr[, events]}
-        All images normalized NHWC float32; labels int32 [B,H,W]."""
+    def _prepare(self, state: DACSTrainState, batch: dict, base_rng):
+        """Returns (state-with-updated-teacher, P) where P carries every
+        tensor the loss part and the debug grids need."""
         cfg = self.cfg
         u = cfg.uda
         train_type = cfg.model.train_type
@@ -224,7 +238,7 @@ class DACSTrainer:
 
         rng = jax.random.fold_in(base_rng, state.step)
         (k_coin, k_mix, k_jit_gate, k_jit, k_blur_gate, k_sigma, k_dir,
-         k_drop, k_dpath) = jax.random.split(rng, 9)
+         k_drop, k_dpath, k_noise) = jax.random.split(rng, 10)
 
         src, tgt = batch["source"], batch["target"]
         day_image = src["image"]
@@ -248,9 +262,6 @@ class DACSTrainer:
             use_events = jnp.asarray(True)
         else:
             use_events = coin > self._choice_thres(state.step)
-        if u.isr_another_fusion:
-            raise NotImplementedError(
-                "isr_another_fusion needs a dual-fusion graph; planned")
 
         # ② EMA teacher update BEFORE pseudo-labels (reference dacs.py:437-442):
         # α = min(1 - 1/(t+1), α_cfg); at t=0 this copies the student.
@@ -268,34 +279,66 @@ class DACSTrainer:
                      ignore_top=u.pseudo_weight_ignore_top,
                      ignore_bottom=u.pseudo_weight_ignore_bottom)
 
+        # deflare ablation: the teacher sees the flare-removed night pair
+        # (reference dacs.py:427-430, 612-613)
+        pl_night_image, pl_night_isr = night_image, night_isr
+        if u.deflare_aug:
+            pl_night_image = tgt["image_deflare"]
+            pl_night_isr = tgt["isr_deflare"]
+
         # ⑤ teacher pseudo-labels
         pl2 = pw2 = target_day_pl = None
+        day_pair_img = day_pair_isr = None
         if train_type == "cs2dsec_image+events_together":
-            ema_second = jnp.where(use_events, night_events, night_isr)
-            ema_mode = "fusion_all" if u.fuse_both_ice_and_e else "default"
-            teacher = self._teacher_logits(
-                state, night_image, ema_second,
-                night_isr if u.fuse_both_ice_and_e else None, ema_mode)
+            if u.fuse_both_ice_and_e:
+                teacher = self._teacher_logits(
+                    state, night_image, night_events, night_isr, "fusion_all")
+            elif u.isr_another_fusion:
+                # ISR rides the dedicated fusion_isr module when the coin
+                # picks ISR (reference dacs.py:664-666); two graphs, one
+                # executed per step via lax.cond
+                teacher = jax.lax.cond(
+                    use_events,
+                    lambda: self._teacher_logits(state, night_image,
+                                                 night_events, None, "default"),
+                    lambda: self._teacher_logits(state, night_image,
+                                                 night_isr, None, "fusion_isr"))
+            else:
+                ema_second = jnp.where(use_events, night_events, night_isr)
+                teacher = self._teacher_logits(state, night_image, ema_second,
+                                               None, "default")
             pseudo_label, pseudo_weight = pseudo_label_and_weight(
                 teacher["fusion_output"], **pl_kw)
         elif train_type == "cs2dsec_image+events":
-            ema_second = jnp.where(use_events, night_events, night_isr)
-            teacher = self._teacher_logits(state, night_image, ema_second,
-                                           None, "default")
+            if u.isr_no_fusion:
+                # fixed events input for the teacher (reference dacs.py:667-669)
+                teacher = self._teacher_logits(state, night_image,
+                                               night_events, None, "default")
+            elif u.isr_another_fusion:
+                teacher = jax.lax.cond(
+                    use_events,
+                    lambda: self._teacher_logits(state, night_image,
+                                                 night_events, None, "default"),
+                    lambda: self._teacher_logits(state, night_image,
+                                                 night_isr, None, "fusion_isr"))
+            else:
+                ema_second = jnp.where(use_events, night_events, night_isr)
+                teacher = self._teacher_logits(state, night_image, ema_second,
+                                               None, "default")
             pseudo_label, pseudo_weight = pseudo_label_and_weight(
                 teacher["fusion_output"], **pl_kw)
         elif split_type:
             # separate image / events pseudo-labels (reference dacs.py:628-651)
-            teacher = self._teacher_logits(state, night_image, night_isr,
-                                           None, "default")
+            teacher = self._teacher_logits(state, pl_night_image,
+                                           pl_night_isr, None, "default")
             pseudo_label, pseudo_weight = pseudo_label_and_weight(
                 teacher["image_output"], **pl_kw)
             pl2, pw2 = pseudo_label_and_weight(
                 teacher["events_output"], **pl_kw)
         elif nofusion_type:
             # image stream supervises the ISR stream (reference dacs.py:624-626)
-            teacher = self._teacher_logits(state, night_image, night_isr,
-                                           None, "no_fusion")
+            teacher = self._teacher_logits(state, pl_night_image,
+                                           pl_night_isr, None, "no_fusion")
             pseudo_label, pseudo_weight = pseudo_label_and_weight(
                 teacher["image_output"], **pl_kw)
         elif d2n_type:
@@ -319,8 +362,8 @@ class DACSTrainer:
             ratio = jnp.mean((prob >= u.pseudo_threshold).astype(jnp.float32))
             pseudo_weight = jnp.full(prob.shape, 1.0) * ratio
         else:  # cs2dz_image+raw-isr
-            teacher = self._teacher_logits(state, night_image, night_isr,
-                                           None, "default")
+            teacher = self._teacher_logits(state, pl_night_image,
+                                           pl_night_isr, None, "default")
             pseudo_label, pseudo_weight = pseudo_label_and_weight(
                 teacher["fusion_output"], **pl_kw)
 
@@ -349,13 +392,73 @@ class DACSTrainer:
             mixed_lbl2 = jnp.where(masks2, target_day_pl, pseudo_label)
             mixed_isr = one_mix(masks2, day_pair_isr, night_isr)
         elif u.mixed_image_to_mixed_isr:
-            dir_idx = jax.random.randint(k_dir, (mixed_img.shape[0],), 0, 4)
-            mixed_isr = self._mixed_isr(mixed_img, dir_idx)
+            if u.shift_3_channel:
+                mixed_isr = self._mixed_isr_3ch(mixed_img)
+            else:
+                dir_idx = jax.random.randint(k_dir, (mixed_img.shape[0],), 0, 4)
+                mixed_isr = self._mixed_isr(mixed_img, dir_idx)
+            if u.isr_noise_dacs_type:
+                # degrade channel 0 then repeat (reference dacs.py:753-755)
+                noisy = add_noise_on_isr(k_noise, mixed_isr[..., :1],
+                                         u.isr_noise_dacs_type)
+                mixed_isr = jnp.repeat(noisy, mixed_isr.shape[-1], axis=-1)
         else:
             mixed_isr = one_mix(masks, day_isr, night_isr)
 
+        return state, dict(
+            train_type=train_type, has_events=has_events,
+            split_type=split_type, nofusion_type=nofusion_type,
+            d2n_type=d2n_type, use_events=use_events,
+            day_image=day_image, day_label=day_label, day_isr=day_isr,
+            day_events=day_events, night_image=night_image,
+            night_isr=night_isr, night_events=night_events,
+            day_pair_img=day_pair_img, day_pair_isr=day_pair_isr,
+            target_day_pl=target_day_pl,
+            pseudo_label=pseudo_label, pseudo_weight=pseudo_weight,
+            masks=masks, mixed_img=mixed_img, mixed_lbl=mixed_lbl,
+            mixed_weight=mixed_weight, mixed_events=mixed_events,
+            mixed_isr=mixed_isr, mixed_lbl2=mixed_lbl2,
+            mixed_weight2=mixed_weight2,
+            rngs={"dropout": k_drop, "droppath": k_dpath})
+
+    def debug_tensors(self, state: DACSTrainState, batch: dict, base_rng):
+        """Snapshot of the mix construction for the class_mix_debug grids
+        (reference dacs.py:882-1097) — same rng fold as the train step about
+        to run on (state, batch), no gradients."""
+        _, P = self._prepare(state, batch, base_rng)
+        keys = ("day_image", "day_label", "day_isr", "day_events",
+                "night_image", "night_isr", "night_events", "pseudo_label",
+                "pseudo_weight", "masks", "mixed_img", "mixed_lbl",
+                "mixed_weight", "mixed_events", "mixed_isr", "use_events")
+        return {k: P[k] for k in keys if P.get(k) is not None}
+
+    # ------------------------------------------------------------------
+    # the fused step
+    # ------------------------------------------------------------------
+    def train_step(self, state: DACSTrainState, batch: dict, base_rng):
+        """One UDA iteration. batch:
+          source: {image, img_self_res, label[, img_time_res]}
+          target: {image, isr[, events]}
+        All images normalized NHWC float32; labels int32 [B,H,W]."""
+        cfg = self.cfg
+        u = cfg.uda
+        state, P = self._prepare(state, batch, base_rng)
+        train_type = P["train_type"]
+        split_type, nofusion_type, d2n_type = (
+            P["split_type"], P["nofusion_type"], P["d2n_type"])
+        use_events = P["use_events"]
+        day_image, day_label, day_isr, day_events = (
+            P["day_image"], P["day_label"], P["day_isr"], P["day_events"])
+        day_pair_isr = P["day_pair_isr"]
+        target_day_pl = P["target_day_pl"]
+        pseudo_weight = P["pseudo_weight"]
+        mixed_img, mixed_lbl, mixed_weight = (
+            P["mixed_img"], P["mixed_lbl"], P["mixed_weight"])
+        mixed_events, mixed_isr = P["mixed_events"], P["mixed_isr"]
+        mixed_lbl2, mixed_weight2 = P["mixed_lbl2"], P["mixed_weight2"]
+        rngs = P["rngs"]
+
         weights = self._loss_weights()
-        rngs = {"dropout": k_drop, "droppath": k_dpath}
 
         def forward_train(params, bstats, image, events, isr, mode):
             (logits, feats), updates = self.model.apply(
@@ -375,15 +478,31 @@ class DACSTrainer:
         # (the reference's backward #1/#3 split, dacs.py:523/860; one fused
         # loss OOMs a 16G chip on the b5 recipe).
         src_mode = "default"
+        src_alt = mix_alt = None   # (inputs, mode) of the ISR-coin graph
+        iaf = u.isr_another_fusion
         if train_type == "cs2dsec_image+events_together":
             src_in = (day_image, day_events, day_isr)
             src_mode = "fusion_all" if u.fuse_both_ice_and_e else "default"
             mix_in = (mixed_img, mixed_events, mixed_isr)
+            if iaf and not u.fuse_both_ice_and_e:
+                # ISR-coin steps route fusion through the fusion_isr module
+                # (reference dacs.py:499-502, 827-830)
+                src_alt = (src_in, "fusion_isr")
+                mix_alt = (mix_in, "fusion_isr")
         elif train_type == "cs2dsec_image+events":
             src_in = (day_image,
                       jnp.where(use_events, day_events, day_isr), None)
             mix_in = (mixed_img,
                       jnp.where(use_events, mixed_events, mixed_isr), None)
+            if iaf:
+                src_alt = ((day_image, day_isr, None), "fusion_isr")
+                mix_alt = ((mixed_img, mixed_isr, None), "fusion_isr")
+            if u.isr_no_fusion:
+                # no fusion-stream loss on ISR-coin steps (reference
+                # dacs.py:510-512, 840-842); same graph, gated weight
+                weights = {**weights, "w_fusion":
+                           weights["w_fusion"]
+                           * use_events.astype(jnp.float32)}
         elif d2n_type:
             src_in = (day_image, day_pair_isr, None)
             mix_in = (mixed_img, mixed_isr, None)
@@ -395,9 +514,21 @@ class DACSTrainer:
             src_in = (day_image, day_isr, None)
             mix_in = (mixed_img, mixed_isr, None)
 
+        def forward_maybe_alt(params, bstats, inputs, mode, alt):
+            """Events-graph vs ISR-graph under the per-iteration coin; one
+            executed per step (lax.cond), identical output trees."""
+            if alt is None:
+                return forward_train(params, bstats, *inputs, mode)
+            alt_in, alt_mode = alt
+            return jax.lax.cond(
+                use_events,
+                lambda p, b: forward_train(p, b, *inputs, mode),
+                lambda p, b: forward_train(p, b, *alt_in, alt_mode),
+                params, bstats)
+
         def src_loss_fn(params, bstats):
-            logits_src, feats_src, bstats1 = forward_train(
-                params, bstats, *src_in, src_mode)
+            logits_src, feats_src, bstats1 = forward_maybe_alt(
+                params, bstats, src_in, src_mode, src_alt)
             if split_type:
                 loss_src, logs_src = stream_losses(
                     logits_src, {"image": day_label, "events": day_label},
@@ -425,8 +556,8 @@ class DACSTrainer:
             return loss_src, (bstats1, logs)
 
         def mix_loss_fn(params, bstats):
-            logits_mix, feats_mix, bstats2 = forward_train(
-                params, bstats, *mix_in, src_mode)
+            logits_mix, feats_mix, bstats2 = forward_maybe_alt(
+                params, bstats, mix_in, src_mode, mix_alt)
             logs = {}
             if split_type:
                 loss_mix, logs_mix = stream_losses(
@@ -464,9 +595,11 @@ class DACSTrainer:
         # Barrier: tie the mixed-step inputs to the finished source
         # gradients so XLA cannot interleave the two backward passes — the
         # source activations are dead before the mixed forward starts.
-        grads_src, mix_in, mixed_lbl, mixed_weight, bstats1 = \
+        alt_in, alt_mode = mix_alt if mix_alt is not None else (None, None)
+        grads_src, mix_in, alt_in, mixed_lbl, mixed_weight, bstats1 = \
             jax.lax.optimization_barrier(
-                (grads_src, mix_in, mixed_lbl, mixed_weight, bstats1))
+                (grads_src, mix_in, alt_in, mixed_lbl, mixed_weight, bstats1))
+        mix_alt = (alt_in, alt_mode) if alt_mode is not None else None
         (loss_mix, (new_bstats, logs_mix)), grads_mix = jax.value_and_grad(
             mix_loss_fn, has_aux=True)(state.params, bstats1)
         loss = loss_src + loss_mix
@@ -486,3 +619,6 @@ class DACSTrainer:
     def jit_train_step(self, donate: bool = True):
         return jax.jit(self.train_step,
                        donate_argnums=(0,) if donate else ())
+
+    def jit_debug_tensors(self):
+        return jax.jit(self.debug_tensors)

@@ -74,6 +74,107 @@ def test_org_dacs_image_only():
     assert np.any(np.asarray(p0) != np.asarray(p1))
 
 
+def test_isr_another_fusion_together():
+    """ISR-coin steps route fusion through fusion_isr (ref dacs.py:499-507).
+
+    Runs EAGER (disable_jit): the lax.cond of two full grad graphs takes
+    >20 min to compile on this CPU, while eager execution is ~5 min — the
+    numerics are identical."""
+    from cmda_tpu.config import tiny_test_config
+    cfg = tiny_test_config()
+    # without_isd forces the ISR branch deterministically
+    cfg_v = replace(cfg, uda=replace(cfg.uda, isr_another_fusion=True,
+                                     without_events=True))
+    trainer = DACSTrainer(cfg_v)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    with jax.disable_jit():
+        new_state, logs = trainer.train_step(state, synth_batch(5),
+                                             jax.random.PRNGKey(5))
+    assert np.isfinite(float(logs["loss"]))
+    assert float(logs["use_events"]) == 0.0
+    # the fusion_isr module must receive grads on the ISR branch
+    before = jax.tree.leaves(state.params["fusion_isr_module"])
+    after = jax.tree.leaves(new_state.params["fusion_isr_module"])
+    assert any(np.any(np.asarray(a) != np.asarray(b))
+               for a, b in zip(before, after)), \
+        "fusion_isr_module got no grads on the ISR branch"
+
+
+def test_isr_no_fusion_gates_fusion_loss():
+    from cmda_tpu.config import tiny_test_config
+    cfg = tiny_test_config()
+    cfg = replace(cfg, model=replace(cfg.model,
+                                     train_type="cs2dsec_image+events"),
+                  uda=replace(cfg.uda, isr_no_fusion=True, without_events=True))
+    trainer = DACSTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    with jax.disable_jit():
+        _, logs = trainer.train_step(state, synth_batch(6),
+                                     jax.random.PRNGKey(6))
+    assert np.isfinite(float(logs["loss"]))
+    # ISR branch chosen -> gated fusion weight: loss excludes the fusion term
+    total = float(logs["src/loss_seg"])
+    no_fusion_sum = (0.5 * float(logs["src/loss_image"])
+                     + 0.5 * float(logs["src/loss_events"]))
+    assert abs(total - no_fusion_sum) < 1e-4
+
+
+def test_shift_3_channel_and_isr_noise():
+    from cmda_tpu.config import tiny_test_config
+    cfg = tiny_test_config()
+    cfg = replace(cfg, uda=replace(cfg.uda, shift_3_channel=True,
+                                   isr_noise_dacs_type="noise+blur"))
+    trainer = DACSTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    _, P = trainer._prepare(state, synth_batch(7), jax.random.PRNGKey(8))
+    assert P["mixed_isr"].shape[-1] == 3
+    assert float(jnp.max(jnp.abs(P["mixed_isr"]))) <= 1.0 + 1e-5
+    # the 3 channels are a repeat of the degraded channel 0 (ref :753-755)
+    np.testing.assert_array_equal(np.asarray(P["mixed_isr"][..., 0]),
+                                  np.asarray(P["mixed_isr"][..., 1]))
+    with jax.disable_jit():
+        _, logs = trainer.train_step(state, synth_batch(7),
+                                     jax.random.PRNGKey(8))
+    assert np.isfinite(float(logs["loss"]))
+
+
+def test_deflare_teacher_inputs():
+    cfg = cz_cfg("cs2dz_image+raw-isr", deflare_aug=True)
+    cfg = replace(cfg, model=replace(cfg.model, fusion="attention"))
+    trainer = DACSTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = synth_batch(8, with_events=False)
+    g = np.random.default_rng(11)
+    batch["target"]["image_deflare"] = jnp.asarray(
+        g.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    batch["target"]["isr_deflare"] = jnp.asarray(
+        np.clip(g.normal(size=(2, 64, 64, 3)), -1, 1).astype(np.float32))
+    with jax.disable_jit():
+        _, logs = trainer.train_step(state, batch, jax.random.PRNGKey(9))
+    assert np.isfinite(float(logs["loss"]))
+    # deflared teacher inputs change the pseudo-labels
+    batch2 = {**batch, "target": dict(batch["target"])}
+    batch2["target"]["image_deflare"] = batch["target"]["image"]
+    batch2["target"]["isr_deflare"] = batch["target"]["isr"]
+    _, P1 = trainer._prepare(state, batch, jax.random.PRNGKey(9))
+    _, P2 = trainer._prepare(state, batch2, jax.random.PRNGKey(9))
+    assert np.any(np.asarray(P1["pseudo_label"]) != np.asarray(P2["pseudo_label"]))
+
+
+def test_debug_tensors_snapshot():
+    from cmda_tpu.config import tiny_test_config
+    cfg = tiny_test_config()
+    trainer = DACSTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    dbg = trainer.debug_tensors(state, synth_batch(9), jax.random.PRNGKey(10))
+    for k in ("day_image", "night_image", "mixed_img", "day_label",
+              "pseudo_label", "mixed_lbl", "masks", "pseudo_weight",
+              "mixed_weight", "mixed_isr"):
+        assert k in dbg, k
+    assert dbg["mixed_img"].shape == dbg["day_image"].shape
+    assert dbg["masks"].dtype == jnp.bool_ or dbg["masks"].dtype == np.bool_
+
+
 def test_edge_label_semantics():
     lbl = np.zeros((1, 8, 8), np.int32)
     lbl[0, :, 4:] = 3

@@ -43,6 +43,107 @@ def architecture_grid():
     return combos
 
 
+def legacy_architecture_grid():
+    """The reference exp-100 architecture/backbone table
+    (experiments.py:398-427), scaled to smoke-size backbones: each entry
+    builds a GenericEncoderDecoder and is trained 2 supervised iterations.
+    Backbone name mapping: r101v1c/r50v1c -> ResNetV1c (d8 dilated),
+    s50/s101/s200 -> ResNeSt, x50-32/x101-32 -> ResNeXt, mitbX -> MiT."""
+    from cmda_tpu.models.resnet import ResNetV1c, RESNET_VARIANTS, ResNetConfig
+    from cmda_tpu.models.mit import MixVisionTransformer, MIT_VARIANTS
+    from cmda_tpu.models.heads import (
+        HeadConfig, SegFormerHead, ASPPHead, DAHead, ISAHead, DLV2Head,
+        UPerHead)
+    from cmda_tpu.models.daformer import DAFormerHead, DAFormerHeadConfig
+
+    rcfg = HeadConfig(in_channels=(256, 512, 1024, 2048), channels=64)
+    mit_hc = HeadConfig(in_channels=(32, 64, 160, 256), channels=64)
+
+    def resnet(name):
+        # smoke-size: 2 blocks per stage, same block types/strides/dilations
+        base = RESNET_VARIANTS[name]
+        return ResNetV1c(ResNetConfig(**{**base.__dict__,
+                                         "depths": (1, 1, 1, 1)}))
+
+    def mit(name="mit_b0"):
+        return MixVisionTransformer(MIT_VARIANTS["mit_b0"])
+
+    def daformer(fusion_type):
+        return DAFormerHead(DAFormerHeadConfig(
+            in_channels=(32, 64, 160, 256), embed_dim=64, channels=64,
+            fusion_type=fusion_type))
+
+    combos = [
+        ("dlv2red_r101v1c", resnet("resnet101_d8"), DLV2Head(rcfg)),
+        ("dlv3p_nodbn_r101v1c", resnet("resnet101_d8"),
+         ASPPHead(rcfg, dilations=(1, 12, 24), sep=True, c1_channels=48)),
+        ("da_nodbn_r101v1c", resnet("resnet101_d8"), DAHead(rcfg)),
+        ("segformer_mitb5", mit(), SegFormerHead(mit_hc)),
+        ("isa_nodbn_r101v1c", resnet("resnet101_d8"),
+         ISAHead(rcfg, isa_channels=32, down_factor=(2, 2))),
+        ("dlv2red_r50v1c", resnet("resnet50_d8"), DLV2Head(rcfg)),
+        ("dlv2red_s50", resnet("resnest50"), DLV2Head(rcfg)),
+        ("dlv2red_s101", resnet("resnest101_d8"), DLV2Head(rcfg)),
+        ("dlv2red_s200", resnet("resnest101_d8"), DLV2Head(rcfg)),
+        ("dlv2red_x50-32", resnet("resnext50"), DLV2Head(rcfg)),
+        ("dlv2red_x101-32", resnet("resnext101_d8"), DLV2Head(rcfg)),
+        ("segformer_mitb4", mit(), SegFormerHead(mit_hc)),
+        ("segformer_mitb3", mit(), SegFormerHead(mit_hc)),
+        ("sfa_dlv3p_nodbn_mitb5-del", mit(),
+         ASPPHead(mit_hc, dilations=(1, 12, 24), sep=True, c1_channels=48)),
+        ("segformer_r101v1c", resnet("resnet101_d8"), SegFormerHead(rcfg)),
+        ("daformer_conv1_mitb5", mit(), daformer("conv")),
+        ("daformer_isa_mitb5", mit(), daformer("isa")),
+        ("daformer_sepaspp_bottleneck_mitb5", mit(),
+         daformer("rawconv_and_aspp")),
+        ("daformer_aspp_mitb5", mit(), daformer("aspp_nonsep")),
+        ("daformer_sepaspp_mitb5", mit(), daformer("aspp")),
+        ("upernet_mitb5", mit(), UPerHead(mit_hc)),
+        ("upernet_ch256_mitb5", mit(), UPerHead(mit_hc, pool_scales=(1, 2))),
+    ]
+    return combos
+
+
+def supervised_smoke(name, backbone, head, iters=2, hw=48):
+    """2-iteration supervised train smoke (the reference exp-100 runs each
+    architecture for iters=2 with uda='target-only')."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from cmda_tpu.models.segmentor import GenericEncoderDecoder
+    from cmda_tpu.ops.losses import weighted_cross_entropy
+
+    model = GenericEncoderDecoder(backbone, head)
+    g = np.random.default_rng(0)
+    img = jnp.asarray(g.normal(size=(1, hw, hw, 3)).astype(np.float32))
+    lbl = jnp.asarray(g.integers(0, 19, size=(1, hw, hw)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    tx = optax.sgd(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, bstats, opt):
+        def loss_fn(p):
+            out, upd = model.apply(
+                {"params": p, "batch_stats": bstats}, img, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1),
+                      "droppath": jax.random.PRNGKey(2)})
+            return weighted_cross_entropy(out, lbl, None), upd.get(
+                "batch_stats", bstats)
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    for _ in range(iters):
+        params, bstats, opt, loss = step(params, bstats, opt)
+    return float(loss)
+
+
 def uda_grid():
     from cmda_tpu.config import tiny_test_config, replace
     base = tiny_test_config()
@@ -63,6 +164,27 @@ def uda_grid():
     variants.append(("cs2dz_image+d2n-isr", replace(
         base, model=replace(base.model, train_type="cs2dz_image+d2n-isr",
                             fusion="", fusion_isr=""))))
+    # ablation knobs (reference my_run_experiments.py flags / dacs.py:496-507,
+    # 735-756)
+    variants.append(("isr_another_fusion", replace(
+        base, uda=replace(base.uda, isr_another_fusion=True))))
+    variants.append(("isr_another_fusion_image+events", replace(
+        base,
+        model=replace(base.model, train_type="cs2dsec_image+events"),
+        uda=replace(base.uda, isr_another_fusion=True))))
+    variants.append(("isr_no_fusion", replace(
+        base,
+        model=replace(base.model, train_type="cs2dsec_image+events"),
+        uda=replace(base.uda, isr_no_fusion=True))))
+    variants.append(("shift_3_channel+isr_noise", replace(
+        base, uda=replace(base.uda, shift_3_channel=True,
+                          isr_noise_dacs_type="noise+blur"))))
+    variants.append(("fuse_both_ice_and_e", replace(
+        base, uda=replace(base.uda, fuse_both_ice_and_e=True))))
+    variants.append(("without_events", replace(
+        base, uda=replace(base.uda, without_events=True))))
+    variants.append(("without_isd", replace(
+        base, uda=replace(base.uda, without_isd=True))))
     return variants
 
 
@@ -111,17 +233,41 @@ def main():
                     "cs2dsec" if args.exp == 1 else "cs2dz"]
         return train_main()
 
-    grid = architecture_grid() if args.exp == 100 else uda_grid()
     results = {}
-    for name, cfg in grid:
-        try:
-            loss = smoke_run(name, cfg, args.iters)
-            results[name] = {"ok": True, "loss": loss}
-            print(f"[OK]   {name}: loss={loss:.3f}", flush=True)
-        except Exception as e:
-            results[name] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-            print(f"[FAIL] {name}: {e}", flush=True)
-            traceback.print_exc()
+    if args.exp == 100:
+        # fusion-framework combos (2-iter UDA smokes)
+        for name, cfg in architecture_grid():
+            try:
+                loss = smoke_run(name, cfg, args.iters)
+                results[name] = {"ok": True, "loss": loss}
+                print(f"[OK]   {name}: loss={loss:.3f}", flush=True)
+            except Exception as e:
+                results[name] = {"ok": False,
+                                 "error": f"{type(e).__name__}: {e}"}
+                print(f"[FAIL] {name}: {e}", flush=True)
+                traceback.print_exc()
+        # reference exp-100 architecture table (supervised smokes)
+        for name, backbone, head in legacy_architecture_grid():
+            try:
+                loss = supervised_smoke(name, backbone, head, args.iters)
+                results[name] = {"ok": True, "loss": loss}
+                print(f"[OK]   {name}: loss={loss:.3f}", flush=True)
+            except Exception as e:
+                results[name] = {"ok": False,
+                                 "error": f"{type(e).__name__}: {e}"}
+                print(f"[FAIL] {name}: {e}", flush=True)
+                traceback.print_exc()
+    else:
+        for name, cfg in uda_grid():
+            try:
+                loss = smoke_run(name, cfg, args.iters)
+                results[name] = {"ok": True, "loss": loss}
+                print(f"[OK]   {name}: loss={loss:.3f}", flush=True)
+            except Exception as e:
+                results[name] = {"ok": False,
+                                 "error": f"{type(e).__name__}: {e}"}
+                print(f"[FAIL] {name}: {e}", flush=True)
+                traceback.print_exc()
     print(json.dumps(results, indent=2))
     if not all(r["ok"] for r in results.values()):
         sys.exit(1)
