@@ -57,7 +57,7 @@ def snapshot_code(work_dir: str, repo_root: str | None = None):
     return out
 
 
-def save_checkpoint(state: DACSTrainState, path: str):
+def save_checkpoint(state: DACSTrainState, path: str, meta: dict | None = None):
     import orbax.checkpoint as ocp
     ckptr = ocp.PyTreeCheckpointer()
     tree = {
@@ -66,6 +66,12 @@ def save_checkpoint(state: DACSTrainState, path: str):
         "opt_state": state.opt_state,
     }
     ckptr.save(os.path.abspath(path), tree, force=True)
+    if meta is not None:
+        # the reference bakes CLASSES/PALETTE/config into checkpoint meta
+        # (tools/train.py:154-161); orbax trees hold arrays, so ours rides
+        # alongside as meta.json
+        with open(os.path.join(os.path.abspath(path), "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1, default=str)
 
 
 def load_checkpoint(state: DACSTrainState, path: str) -> DACSTrainState:
@@ -96,6 +102,12 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
 
     @jax.jit
     def infer(image, events):
+        if output == "isr":
+            # the ISR stream rides the events decoder on the isr input slot
+            # (reference decode_head.py:536-561 forward_test output select)
+            return jnp.argmax(
+                model.apply(variables, image, None, events, mode="no_fusion",
+                            output="isr"), axis=-1)
         return jnp.argmax(
             model.apply(variables, image, events, None, mode="default",
                         output=output), axis=-1)
@@ -158,6 +170,42 @@ class TrainLoop:
         self._log_file.write(json.dumps(record) + "\n")
         self._log_file.flush()
 
+    def _dump_debug_grids(self, it: int, dbg: dict):
+        """class_mix_debug grids (reference dacs.py:882-1097): one PNG per
+        batch sample with source/target/mixed inputs, labels, second
+        modality, and the domain-mask / pseudo-weight row."""
+        from ..utils.visualization import (
+            colorize_label, denorm_to_uint8, signed_to_uint8, grid_panel)
+        from PIL import Image
+        out_dir = os.path.join(self.work_dir, "class_mix_debug")
+        os.makedirs(out_dir, exist_ok=True)
+        b = dbg["day_image"].shape[0]
+
+        def gray(x):  # [H,W] float in [0,1] -> rgb uint8
+            u8 = np.clip(x * 255.0, 0, 255).astype(np.uint8)
+            return np.repeat(u8[..., None], 3, -1)
+
+        for i in range(min(b, 2)):
+            rows = [
+                [denorm_to_uint8(dbg["day_image"][i]),
+                 denorm_to_uint8(dbg["night_image"][i]),
+                 denorm_to_uint8(dbg["mixed_img"][i])],
+                [colorize_label(dbg["day_label"][i]),
+                 colorize_label(dbg["pseudo_label"][i]),
+                 colorize_label(dbg["mixed_lbl"][i])],
+            ]
+            second = ("night_events" if "night_events" in dbg else "night_isr")
+            mixed2 = ("mixed_events" if "mixed_events" in dbg else "mixed_isr")
+            rows.append([signed_to_uint8(dbg["day_isr"][i][..., 0]),
+                         signed_to_uint8(dbg[second][i][..., 0]),
+                         signed_to_uint8(dbg[mixed2][i][..., 0])])
+            rows.append([gray(dbg["masks"][i].astype(np.float32)),
+                         gray(dbg["pseudo_weight"][i]),
+                         gray(dbg["mixed_weight"][i])])
+            panel = grid_panel(rows)
+            Image.fromarray(panel).save(
+                os.path.join(out_dir, f"{it + 1:06d}_{i}.png"))
+
     def run(self, max_iters: int | None = None, state=None):
         cfg = self.cfg
         max_iters = max_iters or cfg.optim.max_iters
@@ -172,10 +220,17 @@ class TrainLoop:
 
         t_start = time.perf_counter()
         t_last = t_start
+        debug_fn = None
         for it in range(int(state.step), max_iters):
             t_data = time.perf_counter()
             batch = jax.tree.map(jnp.asarray, next(self.loader))
             data_time = time.perf_counter() - t_data
+            if cfg.debug_img_interval and (it + 1) % cfg.debug_img_interval == 0:
+                # snapshot BEFORE the step (state is donated by step_fn)
+                if debug_fn is None:
+                    debug_fn = self.trainer.jit_debug_tensors()
+                dbg = jax.device_get(debug_fn(state, batch, base_rng))
+                self._dump_debug_grids(it, dbg)
             state, logs = step_fn(state, batch, base_rng)
             if (it + 1) % cfg.log_interval == 0 or it == 0:
                 jax.block_until_ready(logs["loss"])
@@ -187,16 +242,44 @@ class TrainLoop:
                 t_last = now
                 self.log(rec)
             if self.val_dataset is not None and (it + 1) % cfg.eval_interval == 0:
+                # prediction panels land in test_results_<iter>, then the
+                # dir is renamed with the score (reference eval_hooks.py:43-60)
+                eval_dir = os.path.join(self.work_dir,
+                                        f"test_results_{it + 1}")
                 summary = evaluate_fusion(self.trainer, state,
                                           self.val_dataset,
-                                          num_classes=cfg.data.num_classes)
+                                          num_classes=cfg.data.num_classes,
+                                          show_dir=eval_dir)
                 self.log({"iter": it + 1, "eval": summary})
-                eval_dir = os.path.join(
-                    self.work_dir,
-                    f"test_results_{it + 1}_{summary['mIoU'] * 100:.2f}")
-                os.makedirs(eval_dir, exist_ok=True)
+                scored = f"{eval_dir}_{summary['mIoU'] * 100:.2f}"
+                if os.path.isdir(eval_dir):
+                    os.rename(eval_dir, scored)
+                else:
+                    os.makedirs(scored, exist_ok=True)
             if (it + 1) % cfg.checkpoint_interval == 0 or (it + 1) == max_iters:
+                import dataclasses
+                from ..utils.visualization import CITYSCAPES_PALETTE
+                meta = {"classes": CLASS_NAMES,
+                        "palette": CITYSCAPES_PALETTE.tolist(),
+                        "config": dataclasses.asdict(cfg),
+                        "iter": it + 1}
                 save_checkpoint(state, os.path.join(
-                    self.work_dir, f"iter_{it + 1}"))
+                    self.work_dir, f"iter_{it + 1}"), meta=meta)
+                self._prune_checkpoints(cfg.checkpoint_max_keep)
         self.loader.close()
         return state
+
+    def _prune_checkpoints(self, max_keep: int):
+        """Keep the newest ``max_keep`` iter_* checkpoints (the reference's
+        max_keep_ckpts=1, configs/...b5.py:89)."""
+        if not max_keep or max_keep < 1:
+            return
+        import re
+        import shutil
+        ckpts = sorted(
+            (d for d in os.listdir(self.work_dir)
+             if re.match(r"iter_\d+$", d)
+             and os.path.isdir(os.path.join(self.work_dir, d))),
+            key=lambda d: int(d.split("_")[1]))
+        for d in ckpts[:-max_keep]:
+            shutil.rmtree(os.path.join(self.work_dir, d))

@@ -20,11 +20,15 @@ def parse_args():
     p.add_argument("--config", default="cs2dsec",
                    choices=["cs2dsec", "cs2dz", "tiny"])
     p.add_argument("--checkpoint", required=False, default=None)
+    p.add_argument("--torch-checkpoint", default=None,
+                   help="reference iter_40000.pth (UDA-decorated or bare "
+                        "FusionEncoderDecoder; prefixes stripped as in "
+                        "reference tools/test.py:165-169)")
     p.add_argument("--target-txt", default=None)
     p.add_argument("--target-root", default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--output-type", default="fusion",
-                   choices=["fusion", "image", "events"])
+                   choices=["fusion", "image", "events", "isr"])
     p.add_argument("--use-teacher", action="store_true",
                    help="evaluate the EMA teacher weights")
     p.add_argument("--show-dir", default=None)
@@ -48,6 +52,19 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     if args.checkpoint:
         state = load_checkpoint(state, args.checkpoint)
+    elif args.torch_checkpoint:
+        from cmda_tpu.models.mit import MIT_VARIANTS
+        from cmda_tpu.utils import torch_import as TI
+        sd = TI.load_torch_file(args.torch_checkpoint)
+        conv = TI.convert_fusion_checkpoint(
+            sd, depths=tuple(MIT_VARIANTS[cfg.model.backbone].depths),
+            fusion=cfg.model.fusion, fusion_isr=cfg.model.fusion_isr)
+        params = TI.merge_pretrained(state.params, conv["params"])
+        bstats = TI.merge_pretrained(state.batch_stats,
+                                     conv.get("batch_stats", {}))
+        state = state.replace(params=params, batch_stats=bstats,
+                              ema_params=jax.tree.map(lambda x: x.copy(),
+                                                      params))
 
     if args.synthetic:
         from cmda_tpu.data.synthetic import SyntheticTarget
@@ -77,10 +94,14 @@ def main():
                               output=args.output_type,
                               use_teacher=args.use_teacher,
                               num_classes=cfg.data.num_classes,
-                              max_samples=args.max_samples)
+                              max_samples=args.max_samples,
+                              show_dir=args.show_dir)
     print(json.dumps(summary, indent=2))
-    if args.show_dir:
-        os.rename_dir = f"{args.show_dir}_{summary['mIoU'] * 100:.2f}"
+    if args.show_dir and os.path.isdir(args.show_dir):
+        # bake the score into the dir name (reference tools/test.py:232-233)
+        scored = f"{args.show_dir.rstrip('/')}_{summary['mIoU'] * 100:.2f}"
+        os.rename(args.show_dir, scored)
+        print(json.dumps({"show_dir": scored}))
 
 
 def export_submission(trainer, state, dataset, args):
