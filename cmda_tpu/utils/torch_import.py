@@ -278,6 +278,69 @@ def convert_fusion_checkpoint(sd: dict, depths=(3, 6, 40, 3),
     return {"params": params, "batch_stats": stats}
 
 
+def convert_daformer_head_single(sd: dict, prefix: str = "decode_head",
+                                 n_scales: int = 4):
+    """Single-stream DAFormerHead (reference daformer_head.py:136-197 module
+    names: embed_layers.{i}.proj / fuse_layer / conv_seg) -> our
+    {decoder: {embed{i}, fuse}, cls: {conv_seg}} (+ batch_stats)."""
+    params, stats = {}, {}
+    for i in range(n_scales):
+        params[f"embed{i}"] = _lin(sd, f"{prefix}.embed_layers.{i}.proj")
+    fuse_p, fuse_s = _sep_aspp(sd, f"{prefix}.fuse_layer")
+    params["fuse"] = fuse_p
+    stats["fuse"] = fuse_s
+    head = {"decoder": params,
+            "cls": {"conv_seg": _conv(sd, f"{prefix}.conv_seg")}}
+    return head, {"decoder": stats}
+
+
+def convert_encoder_decoder(sd: dict, depths=(3, 6, 40, 3)) -> dict:
+    """Image-only mmseg EncoderDecoder (DAFormer/SegFormer) state_dict ->
+    our EncoderDecoder variables (backbone + decode_head)."""
+    sd = strip_prefix(sd)
+    head_p, head_s = convert_daformer_head_single(sd)
+    return {
+        "params": {
+            "backbone": convert_mit(subdict(sd, "backbone."), depths),
+            "decode_head": head_p,
+        },
+        "batch_stats": {"decode_head": head_s},
+    }
+
+
+def merge_pretrained(variables: dict, updates: dict) -> dict:
+    """Deep-merge converted torch weights into freshly-initialized flax
+    variables, checking shapes (the structural guarantee the reference gets
+    from load_state_dict; mismatches raise with the offending path)."""
+    import jax
+    from flax.core import unfreeze, freeze
+
+    was_frozen = hasattr(variables, "unfreeze")
+    out = unfreeze(variables) if was_frozen else jax.tree.map(
+        lambda x: x, variables)
+
+    def rec(dst, upd, path):
+        for k, v in upd.items():
+            p = f"{path}/{k}"
+            if isinstance(v, dict):
+                if k not in dst or not isinstance(dst[k], dict):
+                    raise KeyError(f"pretrained key {p} not in model tree "
+                                   f"(have: {sorted(dst)})")
+                rec(dst[k], v, p)
+            else:
+                if k not in dst:
+                    raise KeyError(f"pretrained leaf {p} not in model tree "
+                                   f"(have: {sorted(dst)})")
+                if tuple(np.shape(dst[k])) != tuple(np.shape(v)):
+                    raise ValueError(
+                        f"shape mismatch at {p}: model "
+                        f"{np.shape(dst[k])} vs checkpoint {np.shape(v)}")
+                dst[k] = np.asarray(v).astype(np.asarray(dst[k]).dtype)
+
+    rec(out, updates, "")
+    return freeze(out) if was_frozen else out
+
+
 def load_torch_file(path: str) -> dict:
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)

@@ -1,0 +1,284 @@
+"""End-to-end pretrained-import parity: a full torch MiT backbone + DAFormer
+head assembled from the published recipe (NVlabs mix_transformer.py layout,
+daformer_head.py module names), converted with cmda_tpu.utils.torch_import,
+must produce matching logits through our EncoderDecoder — including
+slide_inference — and a synthesized reference FusionEncoderDecoder
+state_dict must load structurally into a DACSTrainer state.
+
+This is the BASELINE config-1 harness (reference tools/test.py:165-169 +
+encoder_decoder.py:175-218) runnable without the real .pth files.
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from cmda_tpu.models.mit import MixVisionTransformer, MiTConfig
+from cmda_tpu.models.segmentor import (
+    SegmentorConfig, EncoderDecoder, slide_inference)
+from cmda_tpu.models.daformer import DAFormerHeadConfig
+from cmda_tpu.utils.torch_import import (
+    to_numpy, convert_mit, convert_encoder_decoder, convert_fusion_checkpoint,
+    merge_pretrained, strip_prefix)
+from tests.test_torch_parity import TorchSRABlock
+
+torch.manual_seed(0)
+
+DIMS = (32, 64, 160, 256)       # mit_b0
+HEADS = (1, 2, 5, 8)
+DEPTHS = (2, 2, 2, 2)
+SRS = (8, 4, 2, 1)
+
+
+class TorchMiT(nn.Module):
+    """NVlabs-layout 4-stage MiT (mix_transformer.py:186-551 recipe)."""
+
+    def __init__(self, in_ch=3, dims=DIMS, heads=HEADS, depths=DEPTHS,
+                 srs=SRS):
+        super().__init__()
+        self.depths = depths
+        for s in range(4):
+            pe = nn.Module()
+            pe.proj = nn.Conv2d(in_ch if s == 0 else dims[s - 1], dims[s],
+                                7 if s == 0 else 3, 4 if s == 0 else 2,
+                                3 if s == 0 else 1)
+            pe.norm = nn.LayerNorm(dims[s], eps=1e-6)
+            setattr(self, f"patch_embed{s + 1}", pe)
+            setattr(self, f"block{s + 1}", nn.ModuleList(
+                [TorchSRABlock(dims[s], heads[s], srs[s])
+                 for _ in range(depths[s])]))
+            setattr(self, f"norm{s + 1}", nn.LayerNorm(dims[s], eps=1e-6))
+
+    def forward(self, x):
+        outs = []
+        for s in range(4):
+            pe = getattr(self, f"patch_embed{s + 1}")
+            x = pe.proj(x)
+            B, C, H, W = x.shape
+            x = pe.norm(x.flatten(2).transpose(1, 2))
+            for blk in getattr(self, f"block{s + 1}"):
+                x = blk(x, H, W)
+            x = getattr(self, f"norm{s + 1}")(x)
+            x = x.transpose(1, 2).reshape(B, C, H, W)
+            outs.append(x)
+        return outs
+
+
+class TorchConvModule(nn.Module):
+    """mmcv ConvModule: conv(no bias) + BN + ReLU."""
+
+    def __init__(self, cin, cout, k, dilation=1, groups=1):
+        super().__init__()
+        pad = dilation * (k // 2)
+        self.conv = nn.Conv2d(cin, cout, k, padding=pad, dilation=dilation,
+                              groups=groups, bias=False)
+        self.bn = nn.BatchNorm2d(cout)
+        # randomize running stats so eval-mode BN is a real check
+        with torch.no_grad():
+            self.bn.running_mean.normal_(0, 0.05)
+            self.bn.running_var.uniform_(0.8, 1.2)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+class TorchSepConvModule(nn.Module):
+    def __init__(self, cin, cout, k, dilation):
+        super().__init__()
+        self.depthwise_conv = TorchConvModule(cin, cin, k, dilation, groups=cin)
+        self.pointwise_conv = TorchConvModule(cin, cout, 1)
+
+    def forward(self, x):
+        return self.pointwise_conv(self.depthwise_conv(x))
+
+
+class TorchDAFormerHead(nn.Module):
+    """daformer_head.py:136-197 with the sepASPP fuse layer
+    (ASPPWrapper sep=True, dilations (1,6,12,18), pool=False)."""
+
+    def __init__(self, in_channels=DIMS, embed_dim=64, channels=64,
+                 num_classes=19, dilations=(1, 6, 12, 18)):
+        super().__init__()
+        self.embed_layers = nn.ModuleDict({
+            str(i): nn.Module() for i in range(4)})
+        for i in range(4):
+            self.embed_layers[str(i)].proj = nn.Linear(in_channels[i],
+                                                       embed_dim)
+        fuse = nn.Module()
+        fuse.aspp_modules = nn.ModuleList()
+        cin = embed_dim * 4
+        for d in dilations:
+            if d == 1:
+                fuse.aspp_modules.append(TorchConvModule(cin, channels, 1))
+            else:
+                fuse.aspp_modules.append(
+                    TorchSepConvModule(cin, channels, 3, d))
+        fuse.bottleneck = TorchConvModule(channels * len(dilations),
+                                          channels, 3)
+        self.fuse_layer = fuse
+        self.conv_seg = nn.Conv2d(channels, num_classes, 1)
+
+    def forward(self, feats):
+        os_size = feats[0].shape[2:]
+        outs = []
+        for i, f in enumerate(feats):
+            B, C, H, W = f.shape
+            e = self.embed_layers[str(i)].proj(
+                f.flatten(2).transpose(1, 2))
+            e = e.transpose(1, 2).reshape(B, -1, H, W)
+            if e.shape[2:] != os_size:
+                e = F.interpolate(e, size=os_size, mode="bilinear",
+                                  align_corners=False)
+            outs.append(e)
+        x = torch.cat(outs, dim=1)
+        branches = [m(x) for m in self.fuse_layer.aspp_modules]
+        x = self.fuse_layer.bottleneck(torch.cat(branches, dim=1))
+        return self.conv_seg(x)
+
+
+class TorchEncoderDecoder(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.backbone = TorchMiT()
+        self.decode_head = TorchDAFormerHead()
+
+    def forward(self, x):
+        logits = self.decode_head(self.backbone(x))
+        return F.interpolate(logits, size=x.shape[2:], mode="bilinear",
+                             align_corners=False)
+
+
+def our_cfg():
+    return SegmentorConfig(
+        backbone="mit_b0", drop_path_rate=0.0,
+        head=DAFormerHeadConfig(in_channels=DIMS, embed_dim=64, channels=64))
+
+
+@pytest.fixture(scope="module")
+def torch_model():
+    return TorchEncoderDecoder().eval()
+
+
+@pytest.fixture(scope="module")
+def our_variables(torch_model):
+    sd = to_numpy(torch_model.state_dict())
+    return convert_encoder_decoder(sd, depths=DEPTHS)
+
+
+def test_full_backbone_parity(torch_model, our_variables):
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        oracle = [f.permute(0, 2, 3, 1).numpy()
+                  for f in torch_model.backbone(x)]
+    mit = MixVisionTransformer(
+        MiTConfig(embed_dims=DIMS, num_heads=HEADS, depths=DEPTHS,
+                  sr_ratios=SRS, drop_path_rate=0.0))
+    ours = mit.apply({"params": our_variables["params"]["backbone"]},
+                     jnp.asarray(x.permute(0, 2, 3, 1).numpy()))
+    for o, t in zip(ours, oracle):
+        np.testing.assert_allclose(np.asarray(o), t, atol=2e-4)
+
+
+def test_encoder_decoder_logit_parity(torch_model, our_variables):
+    """BASELINE config 1: whole-image logits must match mmseg's ≤1e-3."""
+    x = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        oracle = torch_model(x).permute(0, 2, 3, 1).numpy()
+    model = EncoderDecoder(our_cfg())
+    ours = model.apply(our_variables, jnp.asarray(
+        x.permute(0, 2, 3, 1).numpy()))
+    np.testing.assert_allclose(np.asarray(ours), oracle, atol=1e-3)
+
+
+def test_slide_inference_parity(torch_model, our_variables):
+    """Our one-XLA-program slide == the reference crop-accumulate loop
+    (encoder_decoder.py:175-218) through the same converted weights."""
+    x = torch.randn(1, 3, 96, 96)
+    h_crop = w_crop = 64
+    h_stride = w_stride = 32
+    with torch.no_grad():
+        _, _, h, w = x.shape
+        preds = torch.zeros((1, 19, h, w))
+        count = torch.zeros((1, 1, h, w))
+        h_grids = max(h - h_crop + h_stride - 1, 0) // h_stride + 1
+        w_grids = max(w - w_crop + w_stride - 1, 0) // w_stride + 1
+        for hi in range(h_grids):
+            for wi in range(w_grids):
+                y1 = min(hi * h_stride, h - h_crop)
+                x1 = min(wi * w_stride, w - w_crop)
+                crop = x[:, :, y1:y1 + h_crop, x1:x1 + w_crop]
+                logit = torch_model(crop)
+                preds[:, :, y1:y1 + h_crop, x1:x1 + w_crop] += logit
+                count[:, :, y1:y1 + h_crop, x1:x1 + w_crop] += 1
+        oracle = (preds / count).permute(0, 2, 3, 1).numpy()
+
+    model = EncoderDecoder(our_cfg())
+
+    def apply_fn(crop):
+        return model.apply(our_variables, crop)
+
+    ours = slide_inference(apply_fn, jnp.asarray(
+        x.permute(0, 2, 3, 1).numpy()), crop_size=(64, 64), stride=(32, 32),
+        num_classes=19)
+    np.testing.assert_allclose(np.asarray(ours), oracle, atol=2e-3)
+
+
+def test_fusion_checkpoint_structural_load():
+    """A UDA-decorated reference checkpoint (model.* keys + ema_model noise)
+    must convert and merge into a DACSTrainer state without key or shape
+    mismatch, and run inference (VERDICT r1 item 1)."""
+    from cmda_tpu.config import tiny_test_config, replace
+    from cmda_tpu.uda.dacs import DACSTrainer
+
+    # synthesize the reference layout from the torch oracles
+    sd = {}
+    for name in ("backbone_image", "backbone_events"):
+        for k, v in TorchMiT().state_dict().items():
+            sd[f"model.{name}.{k}"] = v
+    for i in range(4):   # AttentionAvgFusion: basic_block[2i]=img, [2i+1]=ev
+        for j, stream in enumerate(("image", "events")):
+            blk = TorchSRABlock(DIMS[i], 1, 1)
+            for k, v in blk.state_dict().items():
+                sd[f"model.fusion_module.basic_block.{2 * i + j}.{k}"] = v
+    head = TorchDAFormerHead()
+    for k, v in head.state_dict().items():
+        if k.startswith("embed_layers."):
+            k = k.replace("embed_layers.", "embed_layers_image.")
+        elif k.startswith("fuse_layer."):
+            k = k.replace("fuse_layer.", "fuse_layer_image.")
+        sd[f"model.decode_head.{k}"] = v
+    sd["ema_model.backbone_image.patch_embed1.proj.weight"] = \
+        torch.zeros(1)  # decorated checkpoints carry teacher keys; ignored
+
+    cfg = tiny_test_config()
+    cfg = replace(cfg, model=replace(
+        cfg.model, fusion="attention_avg", fusion_isr="",
+        head=DAFormerHeadConfig(in_channels=DIMS, embed_dim=64, channels=64)))
+    trainer = DACSTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    conv = convert_fusion_checkpoint(to_numpy(sd), depths=DEPTHS,
+                                     fusion="attention_avg", fusion_isr="")
+    params = merge_pretrained(state.params, conv["params"])
+    bstats = merge_pretrained(state.batch_stats, conv["batch_stats"])
+    state = state.replace(params=params, batch_stats=bstats)
+
+    x = jnp.zeros((1, 64, 64, 3))
+    out = trainer.model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        x, x, None, mode="default", output="fusion")
+    assert out.shape == (1, 64, 64, 19)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_merge_pretrained_shape_mismatch_raises():
+    from cmda_tpu.utils.torch_import import merge_pretrained
+    variables = {"a": {"kernel": np.zeros((3, 4))}}
+    with pytest.raises(ValueError, match="shape mismatch"):
+        merge_pretrained(variables, {"a": {"kernel": np.zeros((4, 3))}})
+    with pytest.raises(KeyError, match="not in model tree"):
+        merge_pretrained(variables, {"b": {"kernel": np.zeros((3, 4))}})

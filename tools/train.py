@@ -13,6 +13,8 @@ import json
 import os
 import sys
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -35,8 +37,19 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--resume-from", default=None)
+    p.add_argument("--pretrained-backbone", default=None,
+                   help="NVlabs mit_bX.pth loaded into both backbones "
+                        "(reference mix_transformer.py:339-357)")
+    p.add_argument("--cyclegan", default=None,
+                   help="frozen cityscapes_ICD_to_dsec_EN.pth generator "
+                        "(reference dacs.py:96-103)")
     p.add_argument("--dtype", default=None, choices=[None, "float32", "bfloat16"])
     p.add_argument("--num-workers", type=int, default=None)
+    p.add_argument("--multi-host", action="store_true",
+                   help="jax.distributed.initialize + per-host file shards "
+                        "(the reference's init_dist/DistributedSampler path)")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address for --multi-host")
     return p.parse_args()
 
 
@@ -112,10 +125,53 @@ def build_datasets(cfg, args):
     return UDAPairDataset(src, tgt, seed=cfg.seed, **rcs_kwargs), val
 
 
+def init_pretrained_state(trainer, cfg, args):
+    """Build the initial train state from torch checkpoints: the ImageNet
+    MiT backbone into both encoders (reference always starts from
+    pretrained/mit_b5.pth, mix_transformer.py:339-357) and the frozen
+    CycleGAN day-events generator (dacs.py:96-103)."""
+    import jax
+    from cmda_tpu.models.mit import MIT_VARIANTS
+    from cmda_tpu.utils import torch_import as TI
+
+    cyclegan_params = None
+    if args.cyclegan:
+        sd = TI.strip_prefix(TI.load_torch_file(args.cyclegan))
+        cyclegan_params = TI.convert_resnet_generator(sd)["params"]
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed),
+                               cyclegan_params=cyclegan_params)
+    if args.pretrained_backbone:
+        depths = tuple(MIT_VARIANTS[cfg.model.backbone].depths)
+        mit = TI.convert_mit(TI.load_torch_file(args.pretrained_backbone),
+                             depths)
+        targets = {k: mit for k in ("backbone_image", "backbone_events")
+                   if k in state.params}
+        if not targets and "backbone" in state.params:
+            targets = {"backbone": mit}
+        params = TI.merge_pretrained(state.params, targets)
+        state = state.replace(
+            params=params,
+            ema_params=jax.tree.map(lambda x: x.copy(), params))
+    return state
+
+
 def main():
     args = parse_args()
+    if args.multi_host:
+        from cmda_tpu.parallel.mesh import init_distributed
+        pi, pc = init_distributed(coordinator_address=args.coordinator)
+        print(json.dumps({"process_index": pi, "process_count": pc}))
     cfg = build_config(args)
     dataset, val = build_datasets(cfg, args)
+    if args.multi_host:
+        # per-host independent file shards (DistributedSampler equivalent,
+        # reference mmseg/datasets/builder.py:136-139)
+        from cmda_tpu.parallel.mesh import shard_files_for_host
+        for ds in (dataset.source, dataset.target):
+            if hasattr(ds, "files") and ds.files:
+                ds.files = shard_files_for_host(ds.files)
+            elif hasattr(ds, "rows") and len(ds.rows):
+                ds.rows = np.asarray(shard_files_for_host(list(ds.rows)))
 
     from cmda_tpu.train.loop import TrainLoop, load_checkpoint
     loop = TrainLoop(cfg, dataset=dataset, val_dataset=val,
@@ -125,6 +181,8 @@ def main():
         import jax
         state = loop.trainer.init_state(jax.random.PRNGKey(cfg.seed))
         state = load_checkpoint(state, args.resume_from)
+    elif args.pretrained_backbone or args.cyclegan:
+        state = init_pretrained_state(loop.trainer, cfg, args)
     final = loop.run(max_iters=args.max_iters, state=state)
     print(json.dumps({"done": True, "step": int(final.step),
                       "work_dir": loop.work_dir}))
