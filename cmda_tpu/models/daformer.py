@@ -80,6 +80,24 @@ class SepASPP(nn.Module):
         return y
 
 
+class PlainASPP(nn.Module):
+    """Non-separable ASPP + 3x3 bottleneck (ASPPWrapper sep=False)."""
+    channels: int
+    dilations: Sequence[int] = (1, 6, 12, 18)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        branches = []
+        for i, d in enumerate(self.dilations):
+            branches.append(ConvBNReLU(
+                self.channels, 1 if d == 1 else 3, dilation=d,
+                dtype=self.dtype, name=f"aspp{i}")(x, train))
+        y = jnp.concatenate(branches, axis=-1)
+        return ConvBNReLU(self.channels, 3, dtype=self.dtype,
+                          name="bottleneck")(y, train)
+
+
 class DAFormerDecoder(nn.Module):
     """Embed + upsample + concat + fuse; returns pre-classifier features."""
     cfg: DAFormerHeadConfig
@@ -100,9 +118,25 @@ class DAFormerDecoder(nn.Module):
         if cfg.fusion_type == "aspp":
             x = SepASPP(cfg.channels, cfg.aspp_dilations, dtype=self.dtype,
                         name="fuse")(x, train)
+        elif cfg.fusion_type == "aspp_nonsep":
+            # plain-conv ASPP branches (reference daformer_aspp variant)
+            x = PlainASPP(cfg.channels, cfg.aspp_dilations, dtype=self.dtype,
+                          name="fuse")(x, train)
         elif cfg.fusion_type == "conv":
             x = ConvBNReLU(cfg.channels, 1, dtype=self.dtype,
                            name="fuse")(x, train)
+        elif cfg.fusion_type == "rawconv_and_aspp":
+            # raw 3x3 conv then sepASPP (reference daformer_head.py:103-111
+            # 'rawconv_and_aspp' == daformer_sepaspp_bottleneck)
+            x = nn.Conv(cfg.channels, (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name="fuse_rawconv")(x)
+            x = SepASPP(cfg.channels, cfg.aspp_dilations, dtype=self.dtype,
+                        name="fuse")(x, train)
+        elif cfg.fusion_type == "isa":
+            # interlaced sparse self-attention fuse (reference 'isa' type)
+            from .heads import ISALayer
+            x = ISALayer(cfg.channels, isa_channels=cfg.channels // 2,
+                         dtype=self.dtype, name="fuse")(x, train)
         else:
             raise ValueError(cfg.fusion_type)
         return x

@@ -176,6 +176,176 @@ class UPerHead(nn.Module):
                           dtype=self.dtype, name="cls")(y, deterministic=not train)
 
 
+class _QKVAttention(nn.Module):
+    """mmseg SelfAttentionBlock core (mmseg/models/utils/self_attention_block
+    .py semantics as used by ISA/DA): 1x1-projected q/k/v over flattened
+    positions, softmax(q·kᵀ[·scale]), out = attn·v. NHWC."""
+    channels: int            # q/k projection width
+    out_channels: int
+    key_query_num_convs: int = 2
+    key_query_norm: bool = True
+    matmul_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+
+        def project(name, inp):
+            y = inp
+            for i in range(self.key_query_num_convs):
+                if self.key_query_norm:
+                    y = ConvBNReLU(self.channels, 1, dtype=self.dtype,
+                                   name=f"{name}{i}")(y, train)
+                else:
+                    y = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                                name=f"{name}{i}")(y)
+            return y.reshape(b, h * w, -1)
+
+        q = project("query", x)
+        k = project("key", x)
+        v = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name="value")(x).reshape(b, h * w, -1)
+        sim = jnp.einsum("bnc,bmc->bnm", q, k)
+        if self.matmul_norm:
+            sim = sim * (self.channels ** -0.5)
+        attn = nn.softmax(sim.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bnm,bmc->bnc", attn, v)
+        return out.reshape(b, h, w, self.out_channels)
+
+
+class ISACore(nn.Module):
+    """Interlaced Sparse Self-Attention core (reference isa_head.py:66-160
+    ISALayer body): global relation over the glb grid (one attention per
+    local offset), local relation within each glb cell."""
+    isa_channels: int
+    down_factor: tuple = (8, 8)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        loc_h, loc_w = self.down_factor
+        glb_h = -(-h // loc_h)
+        glb_w = -(-w // loc_w)
+        pad_h, pad_w = glb_h * loc_h - h, glb_w * loc_w - w
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (pad_h // 2, pad_h - pad_h // 2),
+                            (pad_w // 2, pad_w - pad_w // 2), (0, 0)))
+
+        def attention(name, y):
+            blk = _QKVAttention(self.isa_channels, c, dtype=self.dtype,
+                                name=name)
+            y = blk(y, train)
+            return ConvBNReLU(c, 1, dtype=self.dtype,
+                              name=f"{name}_out")(y, train)
+
+        # global: gather (glb_h, glb_w) grids per local offset
+        x = x.reshape(n, glb_h, loc_h, glb_w, loc_w, c)
+        x = x.transpose(0, 2, 4, 1, 3, 5).reshape(
+            n * loc_h * loc_w, glb_h, glb_w, c)
+        x = attention("global_relation", x)
+        # local: gather (loc_h, loc_w) cells per global position
+        x = x.reshape(n, loc_h, loc_w, glb_h, glb_w, c)
+        x = x.transpose(0, 3, 4, 1, 2, 5).reshape(
+            n * glb_h * glb_w, loc_h, loc_w, c)
+        x = attention("local_relation", x)
+        x = x.reshape(n, glb_h, glb_w, loc_h, loc_w, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, glb_h * loc_h, glb_w * loc_w, c)
+        if pad_h or pad_w:
+            x = x[:, pad_h // 2: pad_h // 2 + h, pad_w // 2: pad_w // 2 + w]
+        return x
+
+
+class ISALayer(nn.Module):
+    """ISALayer as used by the DAFormer 'isa' fuse type
+    (reference isa_head.py:66-160 with in_conv + out_cat_and_conv)."""
+    channels: int
+    isa_channels: int = 64
+    down_factor: tuple = (8, 8)
+    out_cat_and_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBNReLU(self.channels, 1, dtype=self.dtype,
+                       name="in_conv")(x, train)
+        residual = x
+        x = ISACore(self.isa_channels, self.down_factor, dtype=self.dtype,
+                    name="core")(x, train)
+        if self.out_cat_and_conv:
+            x = ConvBNReLU(self.channels, 1, dtype=self.dtype,
+                           name="out_conv")(
+                jnp.concatenate([x, residual], axis=-1), train)
+        return x
+
+
+class ISAHead(nn.Module):
+    """Interlaced Sparse Self-Attention head (reference isa_head.py:163-250):
+    3x3 in_conv, interlaced global+local relation, concat with the residual,
+    1x1 out_conv, classifier. ``down_factor`` = local group size."""
+    cfg: HeadConfig
+    isa_channels: int = 256
+    down_factor: tuple = (8, 8)
+    in_index: int = -1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        x = ConvBNReLU(self.cfg.channels, 3, dtype=self.dtype,
+                       name="in_conv")(feats[self.in_index], train)
+        residual = x
+        x = ISACore(self.isa_channels, self.down_factor, dtype=self.dtype,
+                    name="core")(x, train)
+        x = ConvBNReLU(self.cfg.channels, 1, dtype=self.dtype, name="out_conv")(
+            jnp.concatenate([x, residual], axis=-1), train)
+        return Classifier(self.cfg.num_classes, self.cfg.dropout_ratio,
+                          dtype=self.dtype, name="cls")(x, deterministic=not train)
+
+
+class DAHead(nn.Module):
+    """Dual Attention head (reference da_head.py:78-180): position attention
+    (PAM, gamma-scaled residual) + channel attention (CAM) branches, summed;
+    returns the pam_cam logits (the stream mmseg evaluates)."""
+    cfg: HeadConfig
+    pam_channels: int = 64
+    in_index: int = -1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        x = feats[self.in_index]
+        ch = self.cfg.channels
+
+        # PAM branch
+        p = ConvBNReLU(ch, 3, dtype=self.dtype, name="pam_in_conv")(x, train)
+        attn_out = _QKVAttention(self.pam_channels, ch,
+                                 key_query_num_convs=1, key_query_norm=False,
+                                 matmul_norm=False, dtype=self.dtype,
+                                 name="pam")(p, train)
+        gamma_p = self.param("pam_gamma", nn.initializers.zeros, ())
+        p = gamma_p * attn_out + p
+        p = ConvBNReLU(ch, 3, dtype=self.dtype, name="pam_out_conv")(p, train)
+
+        # CAM branch (channel-by-channel attention, reference da_head.py:52-74)
+        q = ConvBNReLU(ch, 3, dtype=self.dtype, name="cam_in_conv")(x, train)
+        b, h, w, c = q.shape
+        flat = q.reshape(b, h * w, c)
+        energy = jnp.einsum("bnc,bnd->bcd", flat, flat)
+        energy = (jnp.max(energy, axis=-1, keepdims=True) - energy)
+        attn = nn.softmax(energy.astype(jnp.float32), axis=-1).astype(q.dtype)
+        cam_out = jnp.einsum("bcd,bnd->bnc", attn, flat).reshape(b, h, w, c)
+        gamma_c = self.param("cam_gamma", nn.initializers.zeros, ())
+        q = gamma_c * cam_out + q
+        q = ConvBNReLU(ch, 3, dtype=self.dtype, name="cam_out_conv")(q, train)
+
+        fused = p + q
+        return Classifier(self.cfg.num_classes, self.cfg.dropout_ratio,
+                          dtype=self.dtype, name="cls")(fused,
+                                                        deterministic=not train)
+
+
 class DLV2Head(nn.Module):
     """DeepLabV2 multi-dilation sum head (reference dlv2_head.py): parallel
     dilated 3x3 classifiers summed, no BN, no dropout."""

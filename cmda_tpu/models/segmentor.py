@@ -102,6 +102,20 @@ class EventsEncoderDecoder(nn.Module):
         return resize_bilinear(logits, image.shape[1:3])
 
 
+class GenericEncoderDecoder(nn.Module):
+    """Any (backbone, head) pair -> logits at input resolution.
+
+    Powers the legacy architecture grid (reference experiments.py:398-427:
+    ResNet/ResNeXt/ResNeSt x DLV2/DLV3+/DA/ISA/SegFormer/UPer combos)."""
+    backbone: nn.Module
+    head: nn.Module
+
+    def __call__(self, img, train: bool = False):
+        feats = self.backbone(img, train)
+        logits = self.head(feats, train)
+        return resize_bilinear(logits, img.shape[1:3])
+
+
 def multi_scale_flip_inference(apply_fn, img, *, scales=(1.0,),
                                flip: bool = False):
     """aug_test-equivalent (reference encoder_decoder.py:986-1003 +
@@ -153,10 +167,24 @@ class FusionEncoderDecoder(nn.Module):
         """-> {'f_image', 'f_events', 'f_fusion', 'f_img_self_res'}."""
         f_image = (self.backbone_image(image.astype(self.dtype), train)
                    if image is not None else None)
-        f_events = (self.backbone_events(events.astype(self.dtype), train)
-                    if events is not None else None)
-        f_isr = (self.backbone_events(img_self_res.astype(self.dtype), train)
-                 if img_self_res is not None else None)
+        if (events is not None and img_self_res is not None
+                and events.shape == img_self_res.shape):
+            # events and ISR share the events backbone (reference
+            # encoder_decoder.py:702) — run them as ONE double-batch pass:
+            # same math, half the kernel launches / scan traversals, and the
+            # stage matmuls hit the MXU at 2x batch.
+            both = self.backbone_events(
+                jnp.concatenate([events, img_self_res], axis=0
+                                ).astype(self.dtype), train)
+            b = events.shape[0]
+            f_events = [f[:b] for f in both]
+            f_isr = [f[b:] for f in both]
+        else:
+            f_events = (self.backbone_events(events.astype(self.dtype), train)
+                        if events is not None else None)
+            f_isr = (self.backbone_events(img_self_res.astype(self.dtype),
+                                          train)
+                     if img_self_res is not None else None)
         if mode == "no_fusion":
             f_fusion = None
         elif mode == "fusion_isr":

@@ -7,7 +7,8 @@ import jax
 import jax.numpy as jnp
 
 from cmda_tpu.models.heads import (
-    HeadConfig, SegFormerHead, FCNHead, ASPPHead, PSPHead, UPerHead, DLV2Head)
+    HeadConfig, SegFormerHead, FCNHead, ASPPHead, PSPHead, UPerHead, DLV2Head,
+    ISAHead, DAHead)
 from cmda_tpu.models.resnet import ResNetV1c, RESNET_VARIANTS
 from cmda_tpu.models.segmentor import (
     SegmentorConfig, EventsEncoderDecoder, multi_scale_flip_inference,
@@ -28,6 +29,8 @@ HCFG = HeadConfig(channels=64)
     (PSPHead, {}, (3, 3)),
     (UPerHead, {}, (24, 24)),
     (DLV2Head, {}, (3, 3)),
+    (ISAHead, dict(isa_channels=32, down_factor=(2, 2)), (3, 3)),
+    (DAHead, dict(pam_channels=16), (3, 3)),
 ])
 def test_legacy_heads(cls, kwargs, out_hw):
     head = cls(HCFG, **kwargs)
@@ -48,6 +51,18 @@ def test_resnet_backbones():
     outs8 = m8.apply(v8, x)
     # dilated: stages 3/4 keep stride 8
     assert outs8[2].shape[1:3] == (8, 8) and outs8[3].shape[1:3] == (8, 8)
+
+
+def test_resnext_resnest_backbones():
+    x = jnp.zeros((1, 64, 64, 3))
+    for name in ("resnext50", "resnest50"):
+        m = ResNetV1c(RESNET_VARIANTS[name])
+        variables = m.init(jax.random.PRNGKey(0), x)
+        outs = m.apply(variables, x)
+        assert [o.shape for o in outs] == [
+            (1, 16, 16, 256), (1, 8, 8, 512), (1, 4, 4, 1024),
+            (1, 2, 2, 2048)], name
+        assert np.all(np.isfinite(np.asarray(outs[-1])))
 
 
 def test_events_encoder_decoder_early_fusion():
