@@ -54,6 +54,60 @@ def shard_batch(batch, mesh: Mesh, spatial: bool = False):
     return jax.tree.map(place, batch)
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> tuple[int, int]:
+    """Multi-host bring-up (the reference's init_dist/NCCL launcher path,
+    tools/train.py:100-104): jax.distributed.initialize + (process_index,
+    process_count). On a single-host run (no coordinator and no cluster env)
+    this is a no-op returning (0, 1).
+
+    Initializes only when explicitly asked (coordinator/num_processes) or
+    when a multi-worker coordinator env is present — single-worker
+    sandboxes export TPU_* vars too, so those must not trigger a cluster
+    bring-up. Double-initialization is tolerated."""
+    import os
+    explicit = coordinator_address or (num_processes and num_processes > 1)
+    env_coord = any(os.environ.get(k) for k in (
+        "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS"))
+    if explicit or env_coord:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        except RuntimeError:  # already initialized
+            pass
+    return jax.process_index(), jax.process_count()
+
+
+def shard_files_for_host(files: list, process_index: int | None = None,
+                         process_count: int | None = None) -> list:
+    """Per-host file-list shard — the DistributedSampler equivalent
+    (reference mmseg/datasets/builder.py:136-139): host k takes every
+    process_count-th file starting at k, so the global stream partitions
+    without coordination."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if pc <= 1:
+        return list(files)
+    return list(files)[pi::pc]
+
+
+def shard_batch_multihost(batch, mesh: Mesh, spatial: bool = False):
+    """Assemble a GLOBAL batch from per-host local batches: each host feeds
+    its local shard; jax.make_array_from_process_local_data builds the
+    global sharded arrays (the multi-host twin of shard_batch)."""
+    sh_img = batch_sharding(mesh, spatial)
+    sh_flat = batch_sharding(mesh, False)
+
+    def place(x):
+        sh = sh_img if (spatial and x.ndim >= 3) else sh_flat
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree.map(place, batch)
+
+
 def make_parallel_train_step(trainer, mesh: Mesh, *, donate: bool = True,
                              spatial: bool = False):
     """jit the DACS step over the mesh: state replicated, batch data-sharded.

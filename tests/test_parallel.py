@@ -2,24 +2,103 @@
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from cmda_tpu.config import tiny_test_config
-from cmda_tpu.parallel.mesh import make_mesh, make_parallel_train_step, shard_batch
+from cmda_tpu.parallel.mesh import (
+    make_mesh, make_parallel_train_step, shard_batch, shard_files_for_host,
+    shard_batch_multihost, init_distributed, batch_sharding)
 from cmda_tpu.uda.dacs import DACSTrainer
 from tests.test_dacs import synth_batch
 
 
-def test_dp_step_on_8_device_mesh():
+def test_dp_step_on_8_device_mesh_matches_single_device():
+    """DP-8 must be NUMERICALLY equivalent to the same step on 1 device:
+    the global-mean losses turn into per-shard means + psum, so params after
+    one update must agree to float tolerance (VERDICT r1 item 6)."""
     assert len(jax.devices()) == 8
     cfg = tiny_test_config()
     trainer = DACSTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
+    batch_host = synth_batch(0, b=8)
+
     mesh = make_mesh(n_data=8)
     step = make_parallel_train_step(trainer, mesh, donate=False)
-    batch = shard_batch(synth_batch(0, b=8), mesh)
+    batch = shard_batch(batch_host, mesh)
     new_state, logs = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(logs["loss"]))
     assert int(new_state.step) == 1
     # state stays replicated
     leaf = jax.tree.leaves(new_state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+    # single-device reference on the SAME batch + rng
+    mesh1 = make_mesh(n_data=1, devices=jax.devices()[:1])
+    step1 = make_parallel_train_step(trainer, mesh1, donate=False)
+    ref_state, ref_logs = step1(state, shard_batch(batch_host, mesh1),
+                                jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(logs["loss"]), float(ref_logs["loss"]),
+                               rtol=2e-4)
+    a = np.asarray(jax.tree.leaves(new_state.params)[0])
+    b = np.asarray(jax.tree.leaves(ref_state.params)[0])
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_space_axis_conv_workload():
+    """The 'space' axis shards H of a real conv workload; result must match
+    the unsharded computation (halo exchange handled by GSPMD)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import flax.linen as nn
+
+    mesh = make_mesh(n_data=2, n_space=4)
+
+    class ConvStack(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            x = nn.relu(x)
+            x = nn.Conv(8, (3, 3), padding="SAME", strides=(2, 2))(x)
+            return nn.Conv(4, (3, 3), padding="SAME")(x)
+
+    model = ConvStack()
+    g = np.random.default_rng(0)
+    x = g.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    ref = model.apply(variables, jnp.asarray(x))
+    sharded_in = jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, P("data", "space")))
+    out = jax.jit(
+        model.apply,
+        in_shardings=(NamedSharding(mesh, P()),
+                      NamedSharding(mesh, P("data", "space"))),
+        out_shardings=NamedSharding(mesh, P("data", "space")))(
+        variables, sharded_in)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_shard_files_for_host():
+    files = [f"f{i}" for i in range(10)]
+    assert shard_files_for_host(files, 0, 1) == files
+    s0 = shard_files_for_host(files, 0, 4)
+    s1 = shard_files_for_host(files, 1, 4)
+    s2 = shard_files_for_host(files, 2, 4)
+    s3 = shard_files_for_host(files, 3, 4)
+    assert s0 == ["f0", "f4", "f8"] and s1 == ["f1", "f5", "f9"]
+    assert sorted(s0 + s1 + s2 + s3) == sorted(files)
+
+
+def test_init_distributed_single_host_noop():
+    pi, pc = init_distributed()
+    assert (pi, pc) == (0, 1)
+
+
+def test_shard_batch_multihost_single_process():
+    """With one process, make_array_from_process_local_data must build the
+    same global batch as shard_batch."""
+    mesh = make_mesh(n_data=8)
+    batch = {"x": np.arange(8 * 4, dtype=np.float32).reshape(8, 4)}
+    a = shard_batch_multihost(batch, mesh)
+    assert a["x"].shape == (8, 4)
+    assert a["x"].sharding == batch_sharding(mesh)
+    np.testing.assert_array_equal(np.asarray(a["x"]), batch["x"])
