@@ -194,3 +194,32 @@ def gan_loss(prediction, target_is_real: bool, mode: str = "lsgan"):
     if mode == "wgangp":
         return -jnp.mean(prediction) if target_is_real else jnp.mean(prediction)
     raise NotImplementedError(mode)
+
+
+def gradient_penalty(critic_fn, rng, real, fake, *, kind: str = "mixed",
+                     constant: float = 1.0, lambda_gp: float = 10.0):
+    """WGAN-GP penalty (reference cyclegan_model.py:279-313
+    cal_gradient_penalty): lambda * mean((||d critic/d x||_2 - c)^2) at
+    real / fake / per-sample-alpha-mixed inputs. ``critic_fn(x) -> scores``
+    must already close over the discriminator params."""
+    if lambda_gp <= 0.0:
+        return jnp.asarray(0.0)
+    if kind == "real":
+        x = real
+    elif kind == "fake":
+        x = fake
+    elif kind == "mixed":
+        alpha = jax.random.uniform(
+            rng, (real.shape[0],) + (1,) * (real.ndim - 1))
+        x = alpha * real + (1.0 - alpha) * fake
+    else:
+        raise NotImplementedError(kind)
+
+    def scalar_critic(xi):
+        # sum over outputs == grad_outputs=ones in the torch call
+        return jnp.sum(critic_fn(xi[None]))
+
+    grads = jax.vmap(jax.grad(scalar_critic))(x)
+    flat = grads.reshape(real.shape[0], -1)
+    norms = jnp.linalg.norm(flat + 1e-16, axis=1)
+    return lambda_gp * jnp.mean((norms - constant) ** 2)

@@ -1,0 +1,68 @@
+"""Rho/Diff edge kernels vs torch oracle, zipdir, WGAN-GP penalty."""
+import os
+import zipfile
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+from cmda_tpu.utils.misc import rho_edges, diff_edges, zipdir
+from cmda_tpu.models.cyclegan import gradient_penalty
+
+
+def _torch_rho(x, n_kernels):
+    kernels = [torch.tensor([[3, -1], [-1, -1]], dtype=torch.float),
+               torch.tensor([[-1, 3], [-1, -1]], dtype=torch.float),
+               torch.tensor([[-1, -1], [-1, 3]], dtype=torch.float),
+               torch.tensor([[-1, -1], [3, -1]], dtype=torch.float)]
+    conv = nn.Conv2d(1, n_kernels, kernel_size=2, padding=1, bias=False,
+                     padding_mode="reflect")
+    with torch.no_grad():
+        for i in range(n_kernels):
+            conv.weight[i].copy_(kernels[i].unsqueeze(0))
+        return conv(x)[:, :, :-1, :-1].numpy()
+
+
+def test_rho_diff_match_torch():
+    g = np.random.default_rng(0)
+    x = g.normal(size=(2, 9, 11, 1)).astype(np.float32)
+    xt = torch.as_tensor(np.transpose(x, (0, 3, 1, 2)))
+    oracle4 = np.transpose(_torch_rho(xt, 4), (0, 2, 3, 1))
+    ours4 = np.asarray(rho_edges(jnp.asarray(x)))
+    np.testing.assert_allclose(ours4, oracle4, atol=1e-5)
+    oracle1 = np.transpose(_torch_rho(xt, 1), (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(diff_edges(jnp.asarray(x))),
+                               oracle1, atol=1e-5)
+
+
+def test_zipdir(tmp_path):
+    (tmp_path / "src" / "keep").mkdir(parents=True)
+    (tmp_path / "src" / "work_dirs").mkdir()
+    (tmp_path / "src" / "keep" / "a.py").write_text("x=1")
+    (tmp_path / "src" / "work_dirs" / "b.log").write_text("skip")
+    out = zipdir(str(tmp_path / "src"), str(tmp_path / "code.zip"))
+    names = zipfile.ZipFile(out).namelist()
+    assert any("a.py" in n for n in names)
+    assert not any("b.log" in n for n in names)
+
+
+def test_gradient_penalty_linear_critic():
+    """For critic(x) = sum(w * x), ||grad||_2 = ||w||_2 everywhere, so the
+    penalty is lambda * (||w|| - 1)^2 exactly."""
+    w = np.full((4, 4, 1), 0.5, np.float32)
+    wn = float(np.linalg.norm(w))
+
+    def critic(x):  # [B,4,4,1] -> [B]
+        return jnp.sum(x * jnp.asarray(w), axis=(1, 2, 3))
+
+    g = np.random.default_rng(1)
+    real = jnp.asarray(g.normal(size=(3, 4, 4, 1)).astype(np.float32))
+    fake = jnp.asarray(g.normal(size=(3, 4, 4, 1)).astype(np.float32))
+    gp = gradient_penalty(critic, jax.random.PRNGKey(0), real, fake,
+                          lambda_gp=10.0)
+    np.testing.assert_allclose(float(gp), 10.0 * (wn - 1.0) ** 2, rtol=1e-5)
+    assert float(gradient_penalty(critic, jax.random.PRNGKey(0), real, fake,
+                                  lambda_gp=0.0)) == 0.0
