@@ -49,7 +49,8 @@ def enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
-def run(batch_size: int, steps: int = 10, warmup: int = 3):
+def run(batch_size: int, steps: int = 10, warmup: int = 3,
+        remat: str = "block"):
     import sys
     import jax
     import jax.numpy as jnp
@@ -58,7 +59,9 @@ def run(batch_size: int, steps: int = 10, warmup: int = 3):
 
     cfg = cs2dsec_image_events_b5()
     cfg = replace(cfg, dtype="bfloat16",
-                  model=replace(cfg.model, remat=True),
+                  model=replace(cfg.model, remat=remat != "none",
+                                remat_policy=("dots" if remat == "dots"
+                                              else "full")),
                   data=replace(cfg.data, batch_size=batch_size),
                   uda=replace(cfg.uda, use_cyclegan_day_events=True))
     trainer = DACSTrainer(cfg)
@@ -83,12 +86,22 @@ def run(batch_size: int, steps: int = 10, warmup: int = 3):
 
 
 def main():
+    import argparse
     import sys
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=None,
+                    help="fixed batch (default: try 8, 4, 2)")
+    ap.add_argument("--remat", default="block",
+                    choices=["block", "dots", "none"])
+    ap.add_argument("--steps", type=int, default=10)
+    args = ap.parse_args()
+
     enable_compile_cache()
     sps = None
-    for bs in (8, 4, 2):
+    ladder = (args.batch,) if args.batch else (8, 4, 2)
+    for bs in ladder:
         try:
-            sps = run(bs)
+            sps = run(bs, steps=args.steps, remat=args.remat)
             batch_size = bs
             break
         except Exception as e:  # OOM fallback to smaller batch

@@ -34,7 +34,8 @@ class CityscapesICDataset:
                  isr_noise: bool = False, isr_cow_mask: bool = False,
                  flare_dir: str | None = None,
                  sky_noise_dir: str | None = None, sky_mask: bool = False,
-                 shift_3_channel: bool = False):
+                 shift_3_channel: bool = False,
+                 high_resolution_isr: bool = False):
         """Source-ISR augmentation knobs mirror the reference dataset
         (cityscapes_ic.py:38-45, 243-336): ``isr_noise`` blur+speckle,
         ``isr_cow_mask`` CowMix erase, ``flare_dir`` lens-flare composite
@@ -53,6 +54,8 @@ class CityscapesICDataset:
         self.sky_noise_dir = sky_noise_dir
         self.sky_mask = sky_mask or sky_noise_dir is not None
         self.shift_3_channel = shift_3_channel
+        self.high_resolution_isr = high_resolution_isr
+        assert not (shift_3_channel and high_resolution_isr)
 
         def kw(p):
             return dict(val_range=p.val_range, threshold=p.threshold,
@@ -134,7 +137,23 @@ class CityscapesICDataset:
             out["img_time_res"] = np.repeat(arr[..., None], 3, axis=-1)
 
         if "img_self_res" in self.outputs:
-            if self.shift_3_channel:
+            if self.high_resolution_isr:
+                # ISR on the RAW full-res frame with 2x shift, then
+                # nearest-downsampled and cropped (reference
+                # cityscapes_ic.py:212-223)
+                raw = Image.open(path).convert("RGB")
+                kw2 = dict(self.isr_kw, shift_pixel=self.isr_kw["shift_pixel"] * 2)
+                isr_full = host_image_change(raw, shift_direction="rightdown",
+                                             **kw2)
+                ys = (np.arange(self.resize[1]) * isr_full.shape[0]
+                      // self.resize[1])
+                xs = (np.arange(self.resize[0]) * isr_full.shape[1]
+                      // self.resize[0])
+                isr = isr_full[np.ix_(ys, xs)]
+                isr = isr[y: y + self.crop[1], x: x + self.crop[0]]
+                if flip:
+                    isr = np.ascontiguousarray(isr[:, ::-1])
+            elif self.shift_3_channel:
                 # 3-channel multi-scale ISR, default rightdown direction
                 # (reference cityscapes_ic.py:99-110, 225-231)
                 isr = np.stack([

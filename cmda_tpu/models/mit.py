@@ -232,6 +232,7 @@ class MixVisionTransformer(nn.Module):
     cfg: MiTConfig = MiTConfig()
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "full"   # 'full' | 'dots' (save MXU outputs)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -252,7 +253,13 @@ class MixVisionTransformer(nn.Module):
             depth = cfg.depths[stage]
             block_cls = MiTBlockScan
             if self.remat:
-                block_cls = nn.remat(block_cls, prevent_cse=False)
+                # 'dots' keeps matmul outputs resident and recomputes only
+                # the cheap elementwise chain — ~half the recompute FLOPs of
+                # full-block remat at moderate extra HBM
+                policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                          if self.remat_policy == "dots" else None)
+                block_cls = nn.remat(block_cls, prevent_cse=False,
+                                     policy=policy)
             ScanStage = nn.scan(
                 block_cls,
                 variable_axes={"params": 0},

@@ -43,6 +43,7 @@ class SegmentorConfig:
     head: DAFormerHeadConfig = field(default_factory=DAFormerHeadConfig)
     drop_path_rate: float = 0.1
     remat: bool = False   # checkpoint each encoder block (memory vs FLOPs)
+    remat_policy: str = "full"  # 'full' | 'dots' (save matmul outputs)
 
 
 def _dtype_of(name):
@@ -148,10 +149,12 @@ class FusionEncoderDecoder(nn.Module):
         mit_cfg = MIT_VARIANTS[self.cfg.backbone]
         mit_cfg = type(mit_cfg)(**{**mit_cfg.__dict__,
                                    "drop_path_rate": self.cfg.drop_path_rate})
-        self.backbone_image = MixVisionTransformer(mit_cfg, dtype=self.dtype,
-                                                    remat=self.cfg.remat)
-        self.backbone_events = MixVisionTransformer(mit_cfg, dtype=self.dtype,
-                                                    remat=self.cfg.remat)
+        self.backbone_image = MixVisionTransformer(
+            mit_cfg, dtype=self.dtype, remat=self.cfg.remat,
+            remat_policy=self.cfg.remat_policy)
+        self.backbone_events = MixVisionTransformer(
+            mit_cfg, dtype=self.dtype, remat=self.cfg.remat,
+            remat_policy=self.cfg.remat_policy)
         self.fusion_module = build_fusion_module(
             self.cfg.fusion, self.dtype, remat=self.cfg.remat)
         self.fusion_isr_module = build_fusion_module(

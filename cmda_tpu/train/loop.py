@@ -89,28 +89,45 @@ def load_checkpoint(state: DACSTrainState, path: str) -> DACSTrainState:
 def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
                     output: str = "fusion", use_teacher: bool = False,
                     num_classes: int = 19, max_samples: int | None = None,
-                    batch_size: int = 1, show_dir: str | None = None) -> dict:
-    """Whole-image inference over a test dataset -> mIoU metrics.
+                    batch_size: int = 1, show_dir: str | None = None,
+                    inference: str = "whole",
+                    slide_crop: tuple[int, int] = (512, 512),
+                    slide_stride: tuple[int, int] = (341, 341)) -> dict:
+    """Whole-image or sliding-window inference over a test dataset -> mIoU.
 
     Mirrors single_gpu_test_events + dataset.evaluate (reference
     mmseg/apis/test.py:109-213, mmseg/datasets/dsec.py:387-497): fusion
     stream logits at input resolution, argmax, 19-class histograms; the
-    18-class summary applies the x19/18 rule."""
+    18-class summary applies the x19/18 rule. ``inference='slide'`` compiles
+    the reference's crop-accumulate loop (encoder_decoder.py:175-218) as one
+    XLA program over both modalities."""
     params = state.ema_params if use_teacher else state.params
     variables = {"params": params, "batch_stats": state.batch_stats}
     model = trainer.model
 
-    @jax.jit
-    def infer(image, events):
+    def logits_fn(image, events):
         if output == "isr":
             # the ISR stream rides the events decoder on the isr input slot
             # (reference decode_head.py:536-561 forward_test output select)
-            return jnp.argmax(
-                model.apply(variables, image, None, events, mode="no_fusion",
-                            output="isr"), axis=-1)
-        return jnp.argmax(
-            model.apply(variables, image, events, None, mode="default",
-                        output=output), axis=-1)
+            return model.apply(variables, image, None, events,
+                               mode="no_fusion", output="isr")
+        return model.apply(variables, image, events, None, mode="default",
+                           output=output)
+
+    @jax.jit
+    def infer(image, events):
+        if inference == "slide":
+            from ..models.segmentor import slide_inference
+            both = jnp.concatenate([image, events], axis=-1)
+
+            def crop_fn(x):
+                return logits_fn(x[..., :3], x[..., 3:])
+
+            logits = slide_inference(crop_fn, both, crop_size=slide_crop,
+                                     stride=slide_stride,
+                                     num_classes=num_classes)
+            return jnp.argmax(logits, axis=-1)
+        return jnp.argmax(logits_fn(image, events), axis=-1)
 
     @jax.jit
     def infer_image_only(image):

@@ -295,6 +295,15 @@ def test_cityscapes_ic_source_aug_options(cityscapes_root):
     s2 = ds2.load(0, rng=_random.Random(1))
     assert s2["img_self_res"].shape == (96, 96, 3)
 
+    # high-resolution ISR: raw-frame ISR with 2x shift, nearest-downsampled
+    ds3 = CityscapesICDataset(
+        cityscapes_root, image_resize_size=(256, 128),
+        image_crop_size=(96, 96), isr_params=ISR, high_resolution_isr=True,
+        outputs=("image", "img_self_res"))
+    s3 = ds3.load(0, rng=_random.Random(2))
+    assert s3["img_self_res"].shape == (96, 96, 3)
+    assert np.abs(s3["img_self_res"]).max() <= 1.0
+
 
 def test_rcs_pairing_with_synthetic():
     src = SyntheticSource(crop_size=(64, 64), length=4)

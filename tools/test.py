@@ -32,6 +32,11 @@ def parse_args():
     p.add_argument("--use-teacher", action="store_true",
                    help="evaluate the EMA teacher weights")
     p.add_argument("--show-dir", default=None)
+    p.add_argument("--inference", default="whole", choices=["whole", "slide"],
+                   help="slide = overlapping-crop logit accumulation "
+                        "(reference encoder_decoder.py:175-218)")
+    p.add_argument("--slide-crop", type=int, nargs=2, default=(512, 512))
+    p.add_argument("--slide-stride", type=int, nargs=2, default=(341, 341))
     p.add_argument("--submit-to-website", action="store_true")
     p.add_argument("--max-samples", type=int, default=None)
     return p.parse_args()
@@ -95,7 +100,10 @@ def main():
                               use_teacher=args.use_teacher,
                               num_classes=cfg.data.num_classes,
                               max_samples=args.max_samples,
-                              show_dir=args.show_dir)
+                              show_dir=args.show_dir,
+                              inference=args.inference,
+                              slide_crop=tuple(args.slide_crop),
+                              slide_stride=tuple(args.slide_stride))
     print(json.dumps(summary, indent=2))
     if args.show_dir and os.path.isdir(args.show_dir):
         # bake the score into the dir name (reference tools/test.py:232-233)
