@@ -158,3 +158,47 @@ class CityscapesDataset(LegacySegDataset):
             Image.fromarray(arr, mode="L").save(path)
             written.append(path)
         return written
+
+
+class RepeatDataset:
+    """Virtually repeat a dataset N times (reference dataset_wrappers.py)."""
+
+    def __init__(self, dataset, times: int):
+        self.dataset = dataset
+        self.times = times
+
+    def __len__(self):
+        return len(self.dataset) * self.times
+
+    def load(self, idx, rng=None, **kw):
+        return self.dataset.load(idx % len(self.dataset), rng=rng, **kw)
+
+    def __getitem__(self, idx):
+        return self.load(idx)
+
+
+class ConcatDataset:
+    """Concatenate datasets with compatible sample dicts
+    (reference dataset_wrappers.py ConcatDataset)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self._offsets = []
+        total = 0
+        for d in self.datasets:
+            total += len(d)
+            self._offsets.append(total)
+
+    def __len__(self):
+        return self._offsets[-1] if self._offsets else 0
+
+    def load(self, idx, rng=None, **kw):
+        prev = 0
+        for d, off in zip(self.datasets, self._offsets):
+            if idx < off:
+                return d.load(idx - prev, rng=rng, **kw)
+            prev = off
+        raise IndexError(idx)
+
+    def __getitem__(self, idx):
+        return self.load(idx)

@@ -232,22 +232,31 @@ class DAFormerFusionHead(nn.Module):
         return self.cls_fusion(x, deterministic=det)
 
     def __call__(self, feats: dict, train: bool = False,
-                 bn_train: bool | None = None):
+                 bn_train: bool | None = None, streams=None):
         """feats: {'f_image': [...], 'f_events': [...]|None,
         'f_fusion': [...]|None, 'f_img_self_res': [...]|None}
-        -> dict of logit streams (None where input missing)."""
+        -> dict of logit streams (None where input missing).
+
+        ``streams`` optionally restricts which outputs are decoded (e.g.
+        the EMA teacher only consumes the PL stream — skipping the other
+        decoder passes is pure compute/HBM savings, same results)."""
         bn = train if bn_train is None else bn_train
+
+        def want(name):
+            return streams is None or name in streams
+
         out = {"image_output": None, "events_output": None,
                "fusion_output": None, "img_self_res_output": None}
-        out["image_output"] = self._cls(
-            "image", self._decode("image", feats["f_image"], bn), train)
-        if feats.get("f_events") is not None:
+        if want("image"):
+            out["image_output"] = self._cls(
+                "image", self._decode("image", feats["f_image"], bn), train)
+        if feats.get("f_events") is not None and want("events"):
             out["events_output"] = self._cls(
                 "events", self._decode("events", feats["f_events"], bn), train)
-        if feats.get("f_fusion") is not None:
+        if feats.get("f_fusion") is not None and want("fusion"):
             out["fusion_output"] = self._cls(
                 "fusion", self._decode("fusion", feats["f_fusion"], bn), train)
-        if feats.get("f_img_self_res") is not None:
+        if feats.get("f_img_self_res") is not None and want("isr"):
             # ISR rides the events decoder + events classifier
             out["img_self_res_output"] = self._cls(
                 "isr", self._decode("events", feats["f_img_self_res"], bn), train)

@@ -207,13 +207,16 @@ class FusionEncoderDecoder(nn.Module):
     def forward_logits(self, image, events, img_self_res=None,
                        mode: str = "default", train: bool = False,
                        bn_train: bool | None = None,
-                       resize_to_input: bool = True):
+                       resize_to_input: bool = True, streams=None):
         """All logit streams, optionally resized to the input resolution.
 
         ``train`` gates dropout/droppath; ``bn_train`` gates BN batch stats
-        (the EMA teacher passes train=False, bn_train=True)."""
+        (the EMA teacher passes train=False, bn_train=True). ``streams``
+        restricts which outputs are decoded/resized — the teacher only
+        needs its PL stream, which skips 2-3 decoder passes and the
+        input-res f32 logit buffers of the unused streams."""
         feats = self.extract_feat(image, events, img_self_res, mode, train)
-        out = self.decode_head(feats, train, bn_train)
+        out = self.decode_head(feats, train, bn_train, streams=streams)
         if resize_to_input:
             size = (image.shape[1:3] if image is not None
                     else events.shape[1:3])

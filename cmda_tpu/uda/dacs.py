@@ -140,13 +140,17 @@ class DACSTrainer:
             return a + (b - a) * frac
         return jnp.asarray(rc, jnp.float32)
 
-    def _teacher_logits(self, state, image, second, isr, mode):
+    def _teacher_logits(self, state, image, second, isr, mode,
+                        streams=("fusion",)):
         """EMA forward: dropout/droppath off, BN on batch statistics
-        (reference dacs.py:458-462, 590-594); updated stats discarded."""
+        (reference dacs.py:458-462, 590-594); updated stats discarded.
+        Only the requested ``streams`` are decoded — the teacher's unused
+        logit streams are dead weight in compute and HBM."""
         out, _ = self.model.apply(
             {"params": state.ema_params, "batch_stats": state.batch_stats},
             image, second, isr, mode=mode, train=False, bn_train=True,
-            mutable=["batch_stats"], method=self.model.forward_logits)
+            mutable=["batch_stats"], streams=streams,
+            method=self.model.forward_logits)
         return jax.tree.map(
             lambda x: jax.lax.stop_gradient(x) if x is not None else None, out,
             is_leaf=lambda x: x is None)
@@ -330,7 +334,8 @@ class DACSTrainer:
         elif split_type:
             # separate image / events pseudo-labels (reference dacs.py:628-651)
             teacher = self._teacher_logits(state, pl_night_image,
-                                           pl_night_isr, None, "default")
+                                           pl_night_isr, None, "default",
+                                           streams=("image", "events"))
             pseudo_label, pseudo_weight = pseudo_label_and_weight(
                 teacher["image_output"], **pl_kw)
             pl2, pw2 = pseudo_label_and_weight(
@@ -338,7 +343,8 @@ class DACSTrainer:
         elif nofusion_type:
             # image stream supervises the ISR stream (reference dacs.py:624-626)
             teacher = self._teacher_logits(state, pl_night_image,
-                                           pl_night_isr, None, "no_fusion")
+                                           pl_night_isr, None, "no_fusion",
+                                           streams=("image",))
             pseudo_label, pseudo_weight = pseudo_label_and_weight(
                 teacher["image_output"], **pl_kw)
         elif d2n_type:
@@ -348,11 +354,13 @@ class DACSTrainer:
             day_pair_img = tgt["day_image"]
             day_pair_isr = tgt["day_isr"]
             teacher_day = self._teacher_logits(state, day_pair_img, None,
-                                               None, "no_fusion")
+                                               None, "no_fusion",
+                                               streams=("image",))
             target_day_pl = jnp.argmax(teacher_day["image_output"],
                                        axis=-1).astype(jnp.int32)
             teacher = self._teacher_logits(state, night_image, night_isr,
-                                           None, "default")
+                                           None, "default",
+                                           streams=("image", "events"))
             avg_sm = 0.5 * jax.nn.softmax(
                 teacher["image_output"].astype(jnp.float32), -1) + \
                 0.5 * jax.nn.softmax(

@@ -84,6 +84,19 @@ def test_synthia_converter_and_dataset(tmp_path):
     assert s["image"].shape == (48, 48, 3)
 
 
+def test_dataset_wrappers(gta_root):
+    from cmda_tpu.data.legacy import RepeatDataset, ConcatDataset
+    ds = GTADataset(gta_root, image_resize_size=(256, 128),
+                    image_crop_size=(96, 96))
+    rep = RepeatDataset(ds, 3)
+    assert len(rep) == 3 * len(ds)
+    s = rep.load(len(ds) + 1, rng=random.Random(0))
+    assert s["image"].shape == (96, 96, 3)
+    cat = ConcatDataset([ds, ds])
+    assert len(cat) == 2 * len(ds)
+    assert cat.load(len(ds), rng=random.Random(0))["label"].shape == (96, 96)
+
+
 def test_acdc_and_cityscapes_format_results(tmp_path):
     # ACDC night layout
     root = tmp_path / "acdc"

@@ -95,10 +95,18 @@ def main():
     report["student_fwd_bwd_s"] = timed(grad_fn, state.params,
                                         state.batch_stats, steps=args.steps)
 
-    # the fused step
-    step = trainer.jit_train_step(donate=False)
-    report["fused_step_s"] = timed(step, state, batch, rng,
-                                   steps=args.steps)
+    # the fused step (donated state keeps memory flat next to the live
+    # component executables)
+    step = trainer.jit_train_step(donate=True)
+    s = state
+    for _ in range(2):
+        s, logs = step(s, batch, rng)
+    jax.block_until_ready(logs["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        s, logs = step(s, batch, rng)
+    jax.block_until_ready(logs["loss"])
+    report["fused_step_s"] = (time.perf_counter() - t0) / args.steps
     report["fused_samples_per_s"] = round(args.batch
                                           / report["fused_step_s"], 3)
     # expected composition: cyclegan + teacher + mixed_isr + 2x fwd_bwd
@@ -111,8 +119,8 @@ def main():
     if args.trace:
         with jax.profiler.trace(args.trace):
             for _ in range(3):
-                out = step(state, batch, rng)
-            jax.block_until_ready(out[1]["loss"])
+                s, logs = step(s, batch, rng)
+            jax.block_until_ready(logs["loss"])
         report["trace_dir"] = args.trace
 
     print(json.dumps(report, indent=2))
