@@ -39,14 +39,8 @@ def make_batch(b, h, w):
 
 
 def enable_compile_cache():
-    """Persistent XLA compilation cache: repeat bench/driver runs skip the
-    multi-minute b5 compile entirely."""
-    import os
-    import jax
-    cache_dir = os.path.expanduser("~/.cache/cmda_tpu_xla_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from cmda_tpu.utils.profiling import enable_compile_cache as _ecc
+    _ecc()
 
 
 def run(batch_size: int, steps: int = 10, warmup: int = 3,

@@ -12,6 +12,16 @@ import time
 import jax
 
 
+def enable_compile_cache(cache_dir: str | None = None):
+    """Persistent XLA compilation cache — repeat CLI/bench/driver runs skip
+    the multi-minute b5 compiles (cuts warmup 457s -> ~137s measured)."""
+    import os
+    cache_dir = cache_dir or os.path.expanduser("~/.cache/cmda_tpu_xla_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     jax.profiler.start_trace(log_dir)

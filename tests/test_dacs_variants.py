@@ -175,6 +175,26 @@ def test_debug_tensors_snapshot():
     assert dbg["masks"].dtype == jnp.bool_ or dbg["masks"].dtype == np.bool_
 
 
+def test_dacs_image_trainer():
+    """Source-only ISR trainer (reference dacs_image.py) — loss decreases
+    over a few eager steps on a fixed batch."""
+    from cmda_tpu.uda.dacs_image import DACSImageTrainer
+    from cmda_tpu.config import tiny_test_config
+    cfg = tiny_test_config()
+    trainer = DACSImageTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = synth_batch(10, with_events=False)
+    losses = []
+    with jax.disable_jit():
+        for _ in range(3):
+            state, logs = trainer.train_step(state, batch,
+                                             jax.random.PRNGKey(2))
+            losses.append(float(logs["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 3
+
+
 def test_edge_label_semantics():
     lbl = np.zeros((1, 8, 8), np.int32)
     lbl[0, :, 4:] = 3

@@ -119,7 +119,10 @@ def main():
         "native": native.available(),
         "workers": args.workers,
         "events_per_window": args.events_per_window,
-    }))
+    }), flush=True)
+    # skip interpreter teardown: the experimental TPU client can hang at
+    # exit with live loader threads (observed on the axon backend)
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from cmda_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     import jax
     import numpy as np
     from cmda_tpu import config as C

@@ -157,6 +157,8 @@ def init_pretrained_state(trainer, cfg, args):
 
 def main():
     args = parse_args()
+    from cmda_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     if args.multi_host:
         from cmda_tpu.parallel.mesh import init_distributed
         pi, pc = init_distributed(coordinator_address=args.coordinator)
