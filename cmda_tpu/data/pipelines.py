@@ -157,7 +157,6 @@ class PhotoMetricDistortion:
 
     @staticmethod
     def _rgb_to_hsv(img):
-        import colorsys  # noqa: F401 (documentation only; vector math below)
         maxc = img.max(-1)
         minc = img.min(-1)
         v = maxc

@@ -18,7 +18,7 @@ TPU-first design choices (not a port):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence
 
 import jax

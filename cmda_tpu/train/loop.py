@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from ..config import RunConfig
 from ..data.loader import PrefetchLoader, collate
 from ..ops.metrics import intersect_and_union, eval_metrics, summarize_miou
-from ..ops.resize import resize_bilinear
 from ..uda.dacs import DACSTrainer, DACSTrainState
 
 CLASS_NAMES = ("road", "sidewalk", "building", "wall", "fence", "pole",

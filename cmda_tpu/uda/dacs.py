@@ -23,9 +23,7 @@ XLA program. The events-vs-ISR coin flip (:412-421) becomes a traced select
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

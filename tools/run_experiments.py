@@ -188,7 +188,8 @@ def uda_grid():
     return variants
 
 
-def smoke_run(name, cfg, iters=2):
+def smoke_run(name, cfg, iters=2, eager=False):
+    import contextlib
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -206,6 +207,19 @@ def smoke_run(name, cfg, iters=2):
     trainer = DACSTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
     step = trainer.jit_train_step(donate=False)
+    ctx = jax.disable_jit() if eager else contextlib.nullcontext()
+    if eager:
+        step = trainer.train_step
+    with ctx:
+        loss = _run_iters(cfg, pair, trainer, state, step, iters)
+    return loss
+
+
+def _run_iters(cfg, pair, trainer, state, step, iters):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cmda_tpu.data.loader import collate
     for i in range(iters):
         batch = jax.tree.map(jnp.asarray, collate([pair[j] for j in range(
             cfg.data.batch_size)]))
@@ -225,7 +239,17 @@ def main():
     ap.add_argument("--exp", type=int, required=True,
                     help="1=cs2dsec 2=cs2dz 100=arch grid 101=uda grid")
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--eager", action="store_true",
+                    help="run steps with jax.disable_jit (the tiny-config "
+                         "fused step takes minutes to COMPILE per variant "
+                         "on CPU; eager numerics are identical)")
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
+                    help="force a jax platform (eager grids on a remote TPU "
+                         "pay a network round-trip per op — use cpu)")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     if args.exp in (1, 2):
         from tools.train import main as train_main
@@ -238,7 +262,7 @@ def main():
         # fusion-framework combos (2-iter UDA smokes)
         for name, cfg in architecture_grid():
             try:
-                loss = smoke_run(name, cfg, args.iters)
+                loss = smoke_run(name, cfg, args.iters, eager=args.eager)
                 results[name] = {"ok": True, "loss": loss}
                 print(f"[OK]   {name}: loss={loss:.3f}", flush=True)
             except Exception as e:
@@ -260,7 +284,7 @@ def main():
     else:
         for name, cfg in uda_grid():
             try:
-                loss = smoke_run(name, cfg, args.iters)
+                loss = smoke_run(name, cfg, args.iters, eager=args.eager)
                 results[name] = {"ok": True, "loss": loss}
                 print(f"[OK]   {name}: loss={loss:.3f}", flush=True)
             except Exception as e:
