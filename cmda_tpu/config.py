@@ -25,6 +25,14 @@ class IsrParams:
     clip_range: float = 0.1
     shift_pixel: int = 1
 
+    @staticmethod
+    def from_string(s: str) -> "IsrParams":
+        """Parse the reference launcher's 5-float dash string
+        ``lo-hi-threshold-clip-shift`` (my_run_experiments.py:411-416)."""
+        v = [float(x) for x in s.split("-")]
+        assert len(v) == 5, s
+        return IsrParams((v[0], v[1]), v[2], v[3], int(v[4]))
+
 
 @dataclass(frozen=True)
 class UDAConfig:
@@ -117,6 +125,15 @@ class DataConfig:
     sky_noise_dir: str | None = None
     sky_mask: bool = False
     shift_3_channel: bool = False
+    high_resolution_isr: bool = False
+    # fixed events clip override: uniform(lo, hi) replaces the adaptive
+    # (n_events/5e5)*1.5 rule (reference dsec.py:359-362,
+    # my_run_experiments.py:232-233)
+    events_clip_range: tuple[float, float] | None = None
+    image_change_range: int = 1
+    # img_time_res source mode (reference return_GI_or_IC,
+    # my_run_experiments.py:189-210)
+    return_gi_or_ic: str = "image_change"
 
 
 @dataclass(frozen=True)
@@ -138,6 +155,68 @@ class RunConfig:
 
 def replace(cfg, **kw):
     return dataclasses.replace(cfg, **kw)
+
+
+def _coerce(value, template):
+    """Coerce a string override to the type of the existing field value
+    (the typed-dataclass equivalent of mmcv Config's --options merge,
+    reference tools/train.py:57,75-76)."""
+    if not isinstance(value, str):
+        return value
+    s = value.strip()
+    if isinstance(template, bool):
+        return s.lower() in ("1", "true", "yes", "on")
+    if isinstance(template, (int, float)):
+        try:
+            return type(template)(s)
+        except ValueError:
+            return s   # union-typed field (e.g. random_choice_thres schedule)
+    if isinstance(template, IsrParams):
+        return IsrParams.from_string(s)
+    if isinstance(template, (tuple, list)):
+        elem = template[0] if len(template) else None
+        parts = [p for p in s.replace(",", " ").split() if p]
+        return type(template)(_coerce(p, elem) for p in parts)
+    if isinstance(template, str):
+        return s
+    if s.lower() in ("none", "null"):
+        return None
+    if template is None:
+        # untyped slot: best-effort scalar / tuple-of-float / string
+        if "," in s:
+            return tuple(_coerce(p, None) for p in s.split(",") if p.strip())
+        for cast in (int, float):
+            try:
+                return cast(s)
+            except ValueError:
+                pass
+        if s.lower() in ("true", "false"):
+            return s.lower() == "true"
+        return s
+    return s
+
+
+def set_by_path(cfg, path: str, value):
+    """Return a copy of the frozen config tree with ``path`` (dotted,
+    e.g. ``uda.pseudo_threshold``) replaced by ``value`` (strings are
+    type-coerced against the current field value)."""
+    head, _, rest = path.partition(".")
+    if not hasattr(cfg, head):
+        raise KeyError(f"no config field {head!r} on {type(cfg).__name__} "
+                       f"(path {path!r})")
+    cur = getattr(cfg, head)
+    new = set_by_path(cur, rest, value) if rest else _coerce(value, cur)
+    return dataclasses.replace(cfg, **{head: new})
+
+
+def apply_overrides(cfg, overrides):
+    """Apply ``["a.b.c=value", ...]`` CLI overrides in order."""
+    for ov in overrides or ():
+        path, eq, val = ov.partition("=")
+        if not eq:
+            raise ValueError(f"override {ov!r} is not KEY=VALUE")
+        cfg = set_by_path(cfg, path.strip(), val)
+    return cfg
 
 
 def cs2dsec_image_events_b5(**overrides) -> RunConfig:

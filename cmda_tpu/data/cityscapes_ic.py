@@ -35,7 +35,8 @@ class CityscapesICDataset:
                  flare_dir: str | None = None,
                  sky_noise_dir: str | None = None, sky_mask: bool = False,
                  shift_3_channel: bool = False,
-                 high_resolution_isr: bool = False):
+                 high_resolution_isr: bool = False,
+                 return_gi_or_ic: str = "image_change"):
         """Source-ISR augmentation knobs mirror the reference dataset
         (cityscapes_ic.py:38-45, 243-336): ``isr_noise`` blur+speckle,
         ``isr_cow_mask`` CowMix erase, ``flare_dir`` lens-flare composite
@@ -56,6 +57,13 @@ class CityscapesICDataset:
         self.shift_3_channel = shift_3_channel
         self.high_resolution_isr = high_resolution_isr
         assert not (shift_3_channel and high_resolution_isr)
+        # img_time_res source: 'image_change'/'ic_wo_cyclegan' = IC1 PNG,
+        # 'gray_image' = the frame itself, 'events_gan'/'events_esim' =
+        # precomputed simulated-events PNGs (reference cityscapes_ic.py:176-205,
+        # my_run_experiments.py:189-210)
+        assert return_gi_or_ic in ("image_change", "ic_wo_cyclegan",
+                                   "gray_image", "events_gan", "events_esim")
+        self.return_gi_or_ic = return_gi_or_ic
 
         def kw(p):
             return dict(val_range=p.val_range, threshold=p.threshold,
@@ -129,8 +137,22 @@ class CityscapesICDataset:
                 out["label"] = label_arr
 
         if "img_time_res" in self.outputs:
-            ic = Image.open(self._ic_path(path)).convert("L").resize(
-                self.resize, resample=Image.BILINEAR).crop(box)
+            mode = self.return_gi_or_ic
+            if mode == "gray_image":
+                ic = Image.open(path).convert("L")
+            elif mode == "events_gan":
+                p = path.replace("leftImg8bit",
+                                 "leftImg8bit_EventGAN")[:-13] + ".png"
+                ic = Image.open(p).convert("L")
+            elif mode == "events_esim":
+                p = path.replace("leftImg8bit",
+                                 "leftImg8bit_esim")[:-13] + ".png"
+                ic = Image.open(p).convert("L")
+            else:
+                ic = Image.open(self._ic_path(path)).convert("L")
+            if mode != "events_esim":   # esim PNGs are already crop-res
+                ic = ic.resize(self.resize, resample=Image.BILINEAR)
+            ic = ic.crop(box)
             if flip:
                 ic = ic.transpose(Image.FLIP_LEFT_RIGHT)
             arr = (np.asarray(ic, np.float32) / 255.0 - 0.5) / 0.5

@@ -88,12 +88,16 @@ class DSECDataset:
                  crop_size=(400, 400), after_crop_resize_size=(512, 512),
                  image_change_range: int = 1, isr_params=None,
                  shift_type: str = "random", test_mode: bool = False,
+                 events_clip_range=None,
                  outputs=("image", "events", "isr")):
         self.txt_path = dataset_txt_path
         self.events_bins = events_bins
         self.crop = crop_size                  # (W, H) in train mode
         self.resize = after_crop_resize_size   # (W, H)
         self.image_change_range = image_change_range
+        # fixed clip override: uniform(lo, hi) instead of the adaptive
+        # (n/5e5)*1.5 rule (reference dsec.py:359-362)
+        self.events_clip_range = events_clip_range
         self.test_mode = test_mode
         self.outputs = set(outputs)
         self.shift_type = shift_type
@@ -117,7 +121,7 @@ class DSECDataset:
             self._h5_cache[path] = h5py.File(path, "r")
         return self._h5_cache[path]
 
-    def _events_grid(self, image_path, finish, start):
+    def _events_grid(self, image_path, finish, start, rng=None):
         ev_path = image_path.replace("images", "events")[:-20] + "events.h5"
         h5 = self._open_h5(ev_path)
         t = np.asarray(h5["events/t"][start: finish + 1])
@@ -134,7 +138,11 @@ class DSECDataset:
             x, y = xy[:, 0].astype(np.float32), xy[:, 1].astype(np.float32)
         else:
             x, y = x.astype(np.float32), y.astype(np.float32)
-        clip = (finish - start) / 500000.0 * 1.5
+        if self.events_clip_range is not None:
+            lo, hi = self.events_clip_range
+            clip = (rng if rng is not None else random).uniform(lo, hi)
+        else:
+            clip = (finish - start) / 500000.0 * 1.5
         from .. import native
         if native.available():
             grid = native.voxel_grid(t, x, y, p, bins=self.events_bins,
@@ -192,7 +200,8 @@ class DSECDataset:
             index_map = np.loadtxt(idx_file, dtype=str, encoding="utf-8")
             finish = int(index_map[now_index])
             start = int(index_map[now_index - self.image_change_range])
-            grid = self._events_grid(image_path, finish, start)  # [bins,H,W]
+            grid = self._events_grid(image_path, finish, start,
+                                     rng=r)  # [bins,H,W]
             ev = grid[0] if self.events_bins == 1 else grid.mean(0)
             if self.test_mode:
                 ev = ev[:440]

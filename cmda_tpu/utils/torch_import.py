@@ -162,6 +162,38 @@ def _convmodule(sd, key, with_stats):
     return out
 
 
+def convert_resnet_backbone(sd: dict, depths=(3, 4, 23, 3)) -> dict:
+    """mmcv ResNetV1c checkpoint (``open-mmlab://resnetXX_v1c``, the
+    ``pretrained`` source of the legacy exp-grid backbones, reference
+    mmseg/models/backbones/resnet.py deep_stem layout: ``stem.{0,3,6}``
+    convs + ``stem.{1,4,7}`` BNs, ``layer{s}.{i}.conv{k}/bn{k}`` blocks,
+    ``downsample.{0,1}``) -> our ``ResNetV1c`` variables
+    ({'params', 'batch_stats'})."""
+    if "stem.0.weight" not in sd:
+        raise KeyError("expected an mmcv V1c deep-stem checkpoint "
+                       "(no stem.0.weight key)")
+    params, stats = {}, {}
+    for j, (c, b) in enumerate(((0, 1), (3, 4), (6, 7))):
+        params[f"stem{j}"] = {"conv": _conv(sd, f"stem.{c}"),
+                              "bn": _bn_params(sd, f"stem.{b}")}
+        stats[f"stem{j}"] = {"bn": _bn_stats(sd, f"stem.{b}")}
+    for s in range(4):
+        for i in range(depths[s]):
+            t = f"layer{s + 1}.{i}"
+            p, st = {}, {}
+            for k in (1, 2, 3):
+                p[f"conv{k}"] = {"conv": _conv(sd, f"{t}.conv{k}"),
+                                 "bn": _bn_params(sd, f"{t}.bn{k}")}
+                st[f"conv{k}"] = {"bn": _bn_stats(sd, f"{t}.bn{k}")}
+            if f"{t}.downsample.0.weight" in sd:
+                p["downsample"] = {"conv": _conv(sd, f"{t}.downsample.0"),
+                                   "bn": _bn_params(sd, f"{t}.downsample.1")}
+                st["downsample"] = {"bn": _bn_stats(sd, f"{t}.downsample.1")}
+            params[f"layer{s + 1}_{i}"] = p
+            stats[f"layer{s + 1}_{i}"] = st
+    return {"params": params, "batch_stats": stats}
+
+
 def _sep_aspp(sd, prefix, dilations=(1, 6, 12, 18)):
     params, stats = {}, {}
     for i, d in enumerate(dilations):

@@ -1,0 +1,100 @@
+"""Config override surface: dotted --set paths + the reference-named
+ablation flags (reference my_run_experiments.py:28-90 / mmcv --options)."""
+import sys
+
+import pytest
+
+from cmda_tpu import config as C
+
+
+def test_set_by_path_scalars_and_nesting():
+    cfg = C.cs2dsec_image_events_b5()
+    cfg = C.set_by_path(cfg, "uda.pseudo_threshold", "0.9")
+    cfg = C.set_by_path(cfg, "optim.max_iters", "123")
+    cfg = C.set_by_path(cfg, "uda.blur", "false")
+    cfg = C.set_by_path(cfg, "model.head.embed_dim", "128")
+    assert cfg.uda.pseudo_threshold == 0.9
+    assert cfg.optim.max_iters == 123
+    assert cfg.uda.blur is False
+    assert cfg.model.head.embed_dim == 128
+
+
+def test_set_by_path_tuples_unions_and_isr_params():
+    cfg = C.cs2dsec_image_events_b5()
+    cfg = C.apply_overrides(cfg, [
+        "data.crop_size=400,400",
+        "data.events_clip_range=0.8,1.2",
+        "uda.isr_params=1-100-0.01-0.1-3",
+        "uda.random_choice_thres=0.9-0.1",
+        "model.share_decoder=none",
+    ])
+    assert cfg.data.crop_size == (400, 400)
+    assert cfg.data.events_clip_range == (0.8, 1.2)
+    assert cfg.uda.isr_params == C.IsrParams((1.0, 100.0), 0.01, 0.1, 3)
+    assert cfg.uda.random_choice_thres == "0.9-0.1"   # schedule string
+    assert cfg.model.share_decoder == "none"          # str field keeps literal
+
+
+def test_set_by_path_unknown_key_raises():
+    cfg = C.cs2dsec_image_events_b5()
+    with pytest.raises(KeyError):
+        C.set_by_path(cfg, "uda.not_a_field", "1")
+    with pytest.raises(ValueError):
+        C.apply_overrides(cfg, ["uda.alpha"])   # no '='
+
+
+def _args(argv):
+    sys.path.insert(0, "tools")
+    import train as train_cli
+    import argparse
+    p = argparse.ArgumentParser()
+    # mirror only what ablation_overrides reads
+    train_cli.add_ablation_flags(p)
+    return train_cli, p.parse_args(argv)
+
+
+def test_ablation_flags_map_to_config():
+    train_cli, args = _args([
+        "--backbone", "mit_b3", "--fusion", "caf", "--no_share_decoder",
+        "--feature_dist", "0.005", "--events_clip_range", "1.0",
+        "--loss_weight_img_self_res", "0.4", "--no_plcrop",
+        "--day_events_generate", "gi_wo_cyclegan",
+        "--source_isr_parms", "1-100-0.02-0.2-5",
+        "--isd_shift_type", "all", "--test_mode",
+    ])
+    cfg = C.cs2dsec_image_events_b5()
+    for path, val in train_cli.ablation_overrides(args):
+        cfg = C.set_by_path(cfg, path, val)
+    assert cfg.model.backbone == "mit_b3"
+    assert cfg.model.fusion == "convert_avg"
+    assert cfg.model.share_decoder == "none"
+    assert cfg.uda.imnet_feature_dist_lambda == 0.005
+    assert cfg.data.events_clip_range == (1.0, 1.0)
+    assert cfg.uda.loss_weight_isr == 0.4
+    assert cfg.uda.pseudo_weight_ignore_top == 0
+    assert cfg.data.return_gi_or_ic == "gray_image"
+    assert cfg.uda.use_cyclegan_day_events is False
+    assert cfg.data.source_isr == C.IsrParams((1.0, 100.0), 0.02, 0.2, 5)
+    assert cfg.uda.shift_type == "all" and cfg.data.shift_type == "all"
+    assert cfg.eval_interval == 5 and cfg.debug_img_interval == 3
+
+
+def test_dsec_fixed_clip_override(tmp_path):
+    """events_clip_range=(lo,hi) replaces the adaptive rule
+    (reference dsec.py:359-362)."""
+    from cmda_tpu.data.dsec import DSECDataset
+    txt = tmp_path / "empty.txt"
+    txt.write_text("")
+    ds = DSECDataset(str(txt), isr_params=C.IsrParams(),
+                     events_clip_range=(0.7, 0.7))
+    assert ds.events_clip_range == (0.7, 0.7)
+
+
+def test_cityscapes_gi_modes(tmp_path):
+    from cmda_tpu.data.cityscapes_ic import CityscapesICDataset
+    ds = CityscapesICDataset(str(tmp_path), isr_params=C.IsrParams(),
+                             return_gi_or_ic="gray_image")
+    assert ds.return_gi_or_ic == "gray_image"
+    with pytest.raises(AssertionError):
+        CityscapesICDataset(str(tmp_path), isr_params=C.IsrParams(),
+                            return_gi_or_ic="bogus")

@@ -94,6 +94,23 @@ def test_cityscapes_ic_dataset(cityscapes_root):
     assert np.abs(s["img_self_res"]).max() <= 1.0
 
 
+def test_cityscapes_ic_gray_image_mode(cityscapes_root):
+    """return_GI_or_IC='gray_image': img_time_res is the grayscale frame
+    itself (reference cityscapes_ic.py:201-205)."""
+    ds = CityscapesICDataset(
+        cityscapes_root, image_resize_size=(256, 128),
+        image_crop_size=(96, 96), isr_params=ISR,
+        return_gi_or_ic="gray_image")
+    s = ds.load(0, crop_xy=(0, 0), flip=False)
+    assert s["img_time_res"].shape == (96, 96, 3)
+    # equals the normalized grayscale of the frame, not the IC1 PNG
+    from PIL import Image
+    img = Image.open(ds.files[0]).convert("L").resize(
+        (256, 128), resample=Image.BILINEAR).crop((0, 0, 96, 96))
+    want = (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(s["img_time_res"][..., 0], want)
+
+
 @pytest.fixture(scope="module")
 def dsec_root(tmp_path_factory):
     import h5py

@@ -282,3 +282,104 @@ def test_merge_pretrained_shape_mismatch_raises():
         merge_pretrained(variables, {"a": {"kernel": np.zeros((4, 3))}})
     with pytest.raises(KeyError, match="not in model tree"):
         merge_pretrained(variables, {"b": {"kernel": np.zeros((3, 4))}})
+
+
+# ---------------------------------------------------------------------------
+# ResNetV1c backbone import (open-mmlab://resnetXX_v1c layout)
+# ---------------------------------------------------------------------------
+
+class TorchResNetV1c(nn.Module):
+    """mmcv ResNetV1c oracle, tiny depths, deep stem + pytorch-style
+    bottlenecks (stride on conv2) — the checkpoint layout of
+    open-mmlab://resnet101_v1c (reference mmseg/models/backbones/resnet.py)."""
+
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, planes, stride=1, dilation=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride,
+                                   padding=dilation, dilation=dilation,
+                                   bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.downsample = None
+            if stride != 1 or cin != planes * 4:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, planes * 4, 1, stride=stride, bias=False),
+                    nn.BatchNorm2d(planes * 4))
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = F.relu(self.bn1(self.conv1(x)))
+            y = F.relu(self.bn2(self.conv2(y)))
+            return F.relu(self.bn3(self.conv3(y)) + idt)
+
+    def __init__(self, depths=(1, 1, 1, 1)):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Conv2d(3, 32, 3, stride=2, padding=1, bias=False),
+            nn.BatchNorm2d(32), nn.ReLU(),
+            nn.Conv2d(32, 32, 3, padding=1, bias=False),
+            nn.BatchNorm2d(32), nn.ReLU(),
+            nn.Conv2d(32, 64, 3, padding=1, bias=False),
+            nn.BatchNorm2d(64), nn.ReLU())
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        strides, dils = (1, 2, 1, 1), (1, 1, 2, 4)
+        cin, planes = 64, 64
+        for s in range(4):
+            blocks = []
+            for i in range(depths[s]):
+                blocks.append(self.Bottleneck(
+                    cin, planes, stride=strides[s] if i == 0 else 1,
+                    dilation=dils[s]))
+                cin = planes * 4
+            setattr(self, f"layer{s + 1}", nn.Sequential(*blocks))
+            planes *= 2
+
+    def forward(self, x):
+        x = self.maxpool(self.stem(x))
+        outs = []
+        for s in range(4):
+            x = getattr(self, f"layer{s + 1}")(x)
+            outs.append(x)
+        return outs
+
+
+def test_resnet_backbone_import_parity():
+    """convert_resnet_backbone: converted mmcv V1c weights reproduce the
+    torch forward (d8 dilated variant) to fp32 tolerance."""
+    from cmda_tpu.models.resnet import ResNetV1c, ResNetConfig
+    from cmda_tpu.utils.torch_import import convert_resnet_backbone
+
+    depths = (1, 1, 1, 1)
+    tm = TorchResNetV1c(depths).eval()
+    # randomize BN stats so the test is sensitive to stats mapping
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1, 0.1)
+                m.bias.normal_(0, 0.1)
+    conv = convert_resnet_backbone(to_numpy(tm.state_dict()), depths)
+
+    ours = ResNetV1c(ResNetConfig(depths=depths, strides=(1, 2, 1, 1),
+                                  dilations=(1, 1, 2, 4)))
+    x = np.random.default_rng(0).normal(size=(1, 64, 64, 3)).astype(np.float32)
+    init = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # structural match against a fresh init (same key sets and shapes)
+    flat_a = jax.tree_util.tree_leaves_with_path(init["params"])
+    flat_b = jax.tree_util.tree_leaves_with_path(conv["params"])
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+    assert all(a.shape == b.shape for (_, a), (_, b) in zip(flat_a, flat_b))
+
+    got = ours.apply({"params": conv["params"],
+                      "batch_stats": conv["batch_stats"]},
+                     jnp.asarray(x), train=False)
+    want = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), w.detach().permute(0, 2, 3, 1).numpy(),
+            rtol=2e-4, atol=2e-4)

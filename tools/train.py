@@ -50,7 +50,169 @@ def parse_args():
                         "(the reference's init_dist/DistributedSampler path)")
     p.add_argument("--coordinator", default=None,
                    help="coordinator address for --multi-host")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VAL",
+                   help="dotted config override, e.g. uda.pseudo_threshold"
+                        "=0.9 (mmcv --options equivalent; repeatable)")
+    add_ablation_flags(p)
     return p.parse_args()
+
+
+def add_ablation_flags(p):
+    """The reference launcher's ablation surface (my_run_experiments.py:28-90)
+    as named flags; each maps onto the typed config tree below."""
+    g = p.add_argument_group("ablation flags (reference my_run_experiments.py)")
+    g.add_argument("--backbone", default="",
+                   choices=["", "mit_b0", "mit_b1", "mit_b2", "mit_b3",
+                            "mit_b4", "mit_b5"])
+    g.add_argument("--fusion", default="",
+                   choices=["", "caf", "af", "attf", "attfavg"])
+    g.add_argument("--fusion_isr", default="",
+                   choices=["", "caf", "af", "attf", "attfavg", "none"])
+    g.add_argument("--train_size", default="", help="e.g. 512-512")
+    g.add_argument("--day_events_generate", default="",
+                   choices=["", "image_change", "gray_image", "ic_wo_cyclegan",
+                            "gi_wo_cyclegan", "events_gan", "events_esim"])
+    g.add_argument("--events_clip_range", type=float, default=-1)
+    g.add_argument("--events_bins_5_avg_1", action="store_true")
+    g.add_argument("--image_change_range", type=int, default=-1)
+    g.add_argument("--feature_dist", type=float, default=-1)
+    g.add_argument("--no_plcrop", action="store_true")
+    g.add_argument("--cs_isr_noise", action="store_true")
+    g.add_argument("--cs_cow_mask", action="store_true")
+    g.add_argument("--high_resolution_isr", action="store_true")
+    g.add_argument("--random_flare", default="",
+                   metavar="FLARE_DIR", help="lens-flare PNG dir")
+    g.add_argument("--sky_mask", action="store_true")
+    g.add_argument("--deflare_aug", action="store_true")
+    g.add_argument("--isr_edge", action="store_true")
+    g.add_argument("--shift_3_channel", action="store_true")
+    g.add_argument("--share_decoder", action="store_true")
+    g.add_argument("--half_share_decoder", action="store_true")
+    g.add_argument("--no_share_decoder", action="store_true")
+    g.add_argument("--mixed_image_to_mixed_isr", action="store_true")
+    g.add_argument("--isr_noise_dacs_type", default="",
+                   choices=["", "noise", "blur", "noise+blur"])
+    g.add_argument("--source_isr_parms", default="",
+                   help="lo-hi-threshold-clip-shift (5 dash-separated floats)")
+    g.add_argument("--target_isr_parms", default="")
+    g.add_argument("--dacs_isr_parms", default="")
+    g.add_argument("--without_events", action="store_true")
+    g.add_argument("--without_isd", action="store_true")
+    g.add_argument("--isr_no_fusion", action="store_true")
+    g.add_argument("--fuse_both_ice_and_e", action="store_true")
+    g.add_argument("--random_choice_thres", default="",
+                   help="float or 'a-b' linear schedule")
+    g.add_argument("--isd_shift_type", default="",
+                   choices=["", "all", "random", "rightdown"])
+    g.add_argument("--loss_weight_image", type=float, default=-1)
+    g.add_argument("--loss_weight_events", type=float, default=-1)
+    g.add_argument("--loss_weight_fusion", type=float, default=-1)
+    g.add_argument("--loss_weight_img_self_res", type=float, default=-1)
+    g.add_argument("--lambda_feature_consistency", type=float, default=-1)
+    g.add_argument("--test_mode", action="store_true",
+                   help="shrink eval/log/debug intervals for smoke runs "
+                        "(reference my_run_experiments.py:177-180)")
+
+
+_FUSION_NAMES = {"caf": "convert_avg", "af": "average",
+                 "attf": "attention", "attfavg": "attention_avg",
+                 "none": ""}
+
+
+def ablation_overrides(args):
+    """Translate the named reference flags into dotted overrides."""
+    ov = []
+
+    def add(path, val):
+        ov.append((path, val))
+
+    if args.backbone:
+        add("model.backbone", args.backbone)
+    if args.fusion:
+        add("model.fusion", _FUSION_NAMES[args.fusion])
+    if args.fusion_isr:
+        add("model.fusion_isr", _FUSION_NAMES[args.fusion_isr])
+    if args.train_size:
+        w, h = args.train_size.split("-")
+        add("data.crop_size", f"{w},{h}")
+    if args.day_events_generate:
+        mode = {"gi_wo_cyclegan": "gray_image"}.get(
+            args.day_events_generate, args.day_events_generate)
+        add("data.return_gi_or_ic", mode)
+        add("uda.use_cyclegan_day_events",
+            args.day_events_generate in ("image_change", "gray_image"))
+    if args.events_clip_range != -1:
+        add("data.events_clip_range",
+            (args.events_clip_range, args.events_clip_range))
+    if args.events_bins_5_avg_1:
+        add("data.events_bins", 5)
+    if args.image_change_range != -1:
+        add("data.image_change_range", args.image_change_range)
+    if args.feature_dist != -1:
+        add("uda.imnet_feature_dist_lambda", args.feature_dist)
+    if args.no_plcrop:
+        add("uda.pseudo_weight_ignore_top", 0)
+        add("uda.pseudo_weight_ignore_bottom", 0)
+    if args.cs_isr_noise:
+        add("data.isr_noise", True)
+    if args.cs_cow_mask:
+        add("data.isr_cow_mask", True)
+    if args.high_resolution_isr:
+        add("data.high_resolution_isr", True)
+    if args.random_flare:
+        add("data.flare_dir", args.random_flare)
+    if args.sky_mask:
+        add("data.sky_mask", True)
+    if args.deflare_aug:
+        add("uda.deflare_aug", True)
+    if args.isr_edge:
+        add("uda.isr_edge", True)
+    if args.shift_3_channel:
+        add("uda.shift_3_channel", True)
+        add("data.shift_3_channel", True)
+    if args.share_decoder:
+        add("model.share_decoder", "full")
+    if args.half_share_decoder:
+        add("model.share_decoder", "half")
+    if args.no_share_decoder:
+        add("model.share_decoder", "none")
+    if args.mixed_image_to_mixed_isr:
+        add("uda.mixed_image_to_mixed_isr", True)
+    if args.isr_noise_dacs_type:
+        add("uda.isr_noise_dacs_type", args.isr_noise_dacs_type)
+    if args.source_isr_parms:
+        add("data.source_isr", args.source_isr_parms)
+    if args.target_isr_parms:
+        add("data.target_isr", args.target_isr_parms)
+    if args.dacs_isr_parms:
+        add("uda.isr_params", args.dacs_isr_parms)
+    if args.without_events:
+        add("uda.without_events", True)
+    if args.without_isd:
+        add("uda.without_isd", True)
+    if args.isr_no_fusion:
+        add("uda.isr_no_fusion", True)
+    if args.fuse_both_ice_and_e:
+        add("uda.fuse_both_ice_and_e", True)
+    if args.random_choice_thres:
+        add("uda.random_choice_thres", args.random_choice_thres)
+    if args.isd_shift_type:
+        add("uda.shift_type", args.isd_shift_type)
+        add("data.shift_type", args.isd_shift_type)
+    for k in ("image", "events", "fusion"):
+        v = getattr(args, f"loss_weight_{k}")
+        if v != -1:
+            add(f"uda.loss_weight_{k}", v)
+    if args.loss_weight_img_self_res != -1:
+        add("uda.loss_weight_isr", args.loss_weight_img_self_res)
+    if args.lambda_feature_consistency != -1:
+        add("uda.lambda_feature_consistency", args.lambda_feature_consistency)
+    if args.test_mode:
+        add("eval_interval", 5)
+        add("log_interval", 1)
+        add("debug_img_interval", 3)
+    return ov
 
 
 def build_config(args):
@@ -73,6 +235,9 @@ def build_config(args):
     if args.max_iters:
         cfg = C.replace(cfg, optim=C.replace(cfg.optim,
                                              max_iters=args.max_iters))
+    for path, val in ablation_overrides(args):
+        cfg = C.set_by_path(cfg, path, val)
+    cfg = C.apply_overrides(cfg, args.overrides)
     return cfg
 
 
@@ -91,16 +256,26 @@ def build_datasets(cfg, args):
         return UDAPairDataset(src, tgt, seed=cfg.seed), val
 
     from cmda_tpu.data.cityscapes_ic import CityscapesICDataset
+    d = cfg.data
+    source_isr = (d.source_isr if not d.shift_3_channel
+                  else cfg.uda.isr_params_3)
     src = CityscapesICDataset(
-        cfg.data.source_root, isr_params=cfg.data.source_isr,
-        shift_type=cfg.data.shift_type)
-    if cfg.data.target == "dsec":
+        d.source_root, isr_params=source_isr,
+        shift_type=d.shift_type, isr_noise=d.isr_noise,
+        isr_cow_mask=d.isr_cow_mask, flare_dir=d.flare_dir,
+        sky_noise_dir=d.sky_noise_dir, sky_mask=d.sky_mask,
+        shift_3_channel=d.shift_3_channel,
+        high_resolution_isr=d.high_resolution_isr,
+        return_gi_or_ic=d.return_gi_or_ic)
+    if d.target == "dsec":
         from cmda_tpu.data.dsec import DSECDataset
-        tgt = DSECDataset(args.target_txt, events_bins=cfg.data.events_bins,
-                          isr_params=cfg.data.target_isr,
-                          shift_type=cfg.data.shift_type)
-        val = (DSECDataset(args.val_txt, events_bins=cfg.data.events_bins,
-                           isr_params=cfg.data.target_isr, test_mode=True,
+        tgt = DSECDataset(args.target_txt, events_bins=d.events_bins,
+                          isr_params=d.target_isr,
+                          image_change_range=d.image_change_range,
+                          events_clip_range=d.events_clip_range,
+                          shift_type=d.shift_type)
+        val = (DSECDataset(args.val_txt, events_bins=d.events_bins,
+                           isr_params=d.target_isr, test_mode=True,
                            outputs=("image", "events", "label"))
                if args.val_txt else None)
     else:
