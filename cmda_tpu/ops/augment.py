@@ -71,11 +71,15 @@ def class_mix_mask(labels: jax.Array, selected: jax.Array,
     """
     idx = jnp.where(labels == ignore_index, num_classes, labels)
     idx = jnp.clip(idx, 0, num_classes)
+    # compare+any instead of a gather: the [B,HW]-from-[B,C] gather lowers
+    # to a ~21 ms scalar-unit op on v5e (r2 profile); the one-hot AND runs
+    # on the VPU and fuses
+    onehot = idx[..., None] == jnp.arange(selected.shape[-1], dtype=idx.dtype)
     if selected.ndim == 1:
-        return jnp.take(selected, idx)
-    b = labels.shape[0]
-    flat = jnp.take_along_axis(selected, idx.reshape(b, -1), axis=1)
-    return flat.reshape(labels.shape)
+        sel = selected[None, None, None, :]
+    else:
+        sel = selected[:, None, None, :]
+    return jnp.any(onehot & sel, axis=-1)
 
 
 def one_mix(mask: jax.Array, source: jax.Array, target: jax.Array) -> jax.Array:
@@ -115,10 +119,21 @@ def _hsv_to_rgb(hsv):
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
+
+    # select-chains instead of jnp.choose: the 6-way choose lowers to a
+    # [6,B,H,W] gather (~36 ms each on v5e, r2 profile); nested where is a
+    # fused VPU select
+    def pick(c0, c1, c2, c3, c4, c5):
+        return jnp.where(i == 0, c0,
+               jnp.where(i == 1, c1,
+               jnp.where(i == 2, c2,
+               jnp.where(i == 3, c3,
+               jnp.where(i == 4, c4, c5)))))
+
     rgb = jnp.stack([
-        jnp.choose(i, [v, q, p, p, t, v], mode="clip"),
-        jnp.choose(i, [t, v, v, q, p, p], mode="clip"),
-        jnp.choose(i, [p, p, t, v, v, q], mode="clip"),
+        pick(v, q, p, p, t, v),
+        pick(t, v, v, q, p, p),
+        pick(p, p, t, v, v, q),
     ], axis=-1)
     return rgb
 

@@ -21,18 +21,33 @@ import jax
 import jax.numpy as jnp
 
 
+def _select_class(values: jax.Array, labels: jax.Array) -> jax.Array:
+    """values[..., labels] without a gather: one-hot compare + reduce.
+
+    TPU-first: ``take_along_axis`` over the class axis lowers to a
+    scalar-unit kCustom gather (~34 ms for [8,512,512,19] on v5e — measured
+    r2 profile); the compare+multiply+reduce form runs on the VPU and fuses
+    with the surrounding softmax (~sub-ms)."""
+    num_classes = values.shape[-1]
+    onehot = (labels[..., None]
+              == jnp.arange(num_classes, dtype=labels.dtype))
+    return jnp.sum(values * onehot.astype(values.dtype), axis=-1)
+
+
 def weighted_cross_entropy(logits: jax.Array, labels: jax.Array,
                            weight: jax.Array | None = None,
                            ignore_index: int = 255,
                            class_weight: jax.Array | None = None) -> jax.Array:
     """Mean per-pixel CE with pixel weights, torch-parity reduction."""
-    num_classes = logits.shape[-1]
     valid = labels != ignore_index
     safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = -_select_class(logp, safe_labels)
     if class_weight is not None:
-        cw = jnp.take(class_weight, safe_labels)
+        cw = _select_class(
+            jnp.broadcast_to(class_weight,
+                             safe_labels.shape + class_weight.shape),
+            safe_labels)
         nll = nll * cw
     nll = jnp.where(valid, nll, 0.0)
     if weight is not None:
@@ -40,7 +55,7 @@ def weighted_cross_entropy(logits: jax.Array, labels: jax.Array,
     if class_weight is not None:
         # torch F.cross_entropy with class weights normalizes by the summed
         # class weight of valid pixels, not the pixel count.
-        denom_w = jnp.where(valid, jnp.take(class_weight, safe_labels), 0.0)
+        denom_w = jnp.where(valid, cw, 0.0)
         return jnp.sum(nll) / jnp.maximum(jnp.sum(denom_w), 1e-8)
     return jnp.mean(nll)
 
@@ -90,7 +105,7 @@ def ohem_weights(logits: jax.Array, labels: jax.Array, *,
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    gt_prob = jnp.take_along_axis(prob, safe[..., None], axis=-1)[..., 0]
+    gt_prob = _select_class(prob, safe)
     gt_prob = jnp.where(valid, gt_prob, jnp.inf)
     flat = gt_prob.reshape(b, -1)
     k = min(min_kept, flat.shape[1])
