@@ -22,7 +22,8 @@ import random
 import numpy as np
 from PIL import Image
 
-from .host_isr import host_image_change, normalize_image, pick_shift_direction
+from .host_isr import (host_image_change, normalize_image, open_rgb,
+                       pick_shift_direction)
 
 
 class CityscapesICDataset:
@@ -115,7 +116,7 @@ class CityscapesICDataset:
 
         crop_image = None
         if "image" in self.outputs or "img_self_res" in self.outputs:
-            img = Image.open(path).convert("RGB").resize(
+            img = open_rgb(path).resize(
                 self.resize, resample=Image.BILINEAR).crop(box)
             if flip:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
@@ -163,7 +164,7 @@ class CityscapesICDataset:
                 # ISR on the RAW full-res frame with 2x shift, then
                 # nearest-downsampled and cropped (reference
                 # cityscapes_ic.py:212-223)
-                raw = Image.open(path).convert("RGB")
+                raw = open_rgb(path)
                 kw2 = dict(self.isr_kw, shift_pixel=self.isr_kw["shift_pixel"] * 2)
                 isr_full = host_image_change(raw, shift_direction="rightdown",
                                              **kw2)

@@ -23,7 +23,8 @@ import random
 import numpy as np
 from PIL import Image
 
-from .host_isr import host_image_change, normalize_image, pick_shift_direction
+from .host_isr import (host_image_change, normalize_image, open_rgb,
+                       pick_shift_direction)
 
 
 class DarkZurichDataset:
@@ -69,7 +70,7 @@ class DarkZurichDataset:
         path = self.files[idx]
         test_mode = self.split != "train"
         out = {}
-        img_pil = Image.open(path).convert("RGB").resize(
+        img_pil = open_rgb(path).resize(
             self.resize, resample=Image.BILINEAR)
         if not test_mode:
             x = r.randint(0, self.resize[0] - self.crop[0])

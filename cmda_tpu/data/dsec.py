@@ -28,7 +28,8 @@ import random
 import numpy as np
 from PIL import Image
 
-from .host_isr import host_image_change, normalize_image, pick_shift_direction
+from .host_isr import (host_image_change, normalize_image, open_rgb,
+                       pick_shift_direction)
 
 try:  # pragma: no cover - environment dependent
     import hdf5plugin  # noqa: F401  (registers codecs)
@@ -124,10 +125,11 @@ class DSECDataset:
     def _events_grid(self, image_path, finish, start, rng=None):
         ev_path = image_path.replace("images", "events")[:-20] + "events.h5"
         h5 = self._open_h5(ev_path)
-        t = np.asarray(h5["events/t"][start: finish + 1])
-        x = np.asarray(h5["events/x"][start: finish + 1])
-        y = np.asarray(h5["events/y"][start: finish + 1])
-        p = np.asarray(h5["events/p"][start: finish + 1]).astype(np.float32)
+        from .native_h5 import read_slice
+        t = read_slice(h5["events/t"], start, finish + 1)
+        x = read_slice(h5["events/x"], start, finish + 1)
+        y = read_slice(h5["events/y"], start, finish + 1)
+        p = read_slice(h5["events/p"], start, finish + 1).astype(np.float32)
         t = (t - t[0]).astype(np.float32)
         if t[-1] > 0:
             t = t / t[-1]
@@ -168,7 +170,7 @@ class DSECDataset:
             box = (x, y, x + self.crop[0], y + self.crop[1])
 
         warp_path = image_path.replace("images/left/rectified", "warp_images")
-        warp_pil = Image.open(warp_path).convert("RGB")
+        warp_pil = open_rgb(warp_path)
 
         if "image" in self.outputs:
             if self.test_mode:

@@ -95,3 +95,19 @@ def normalize_image(pil_image) -> np.ndarray:
     """RGB PIL -> normalized float32 HWC."""
     arr = np.asarray(pil_image, dtype=np.float32)
     return (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def open_rgb(path: str):
+    """Open an RGB frame as a PIL Image, decoding PNGs via libpng in C++
+    when available (GIL-free; SURVEY §2.9 host decode path). Pixel-identical
+    to PIL's decoder — PNG decode is lossless — so downstream PIL
+    resize/crop semantics are unchanged."""
+    from PIL import Image
+    from .. import native
+    if path.endswith(".png") and native.png_available():
+        try:
+            with open(path, "rb") as f:
+                return Image.fromarray(native.png_decode(f.read()))
+        except ValueError:
+            pass
+    return Image.open(path).convert("RGB")

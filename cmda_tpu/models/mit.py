@@ -163,10 +163,15 @@ class MiTBlock(nn.Module):
 
 
 class MiTBlockScan(nn.Module):
-    """MiTBlock in (carry, x) form for nn.scan: the stochastic-depth rate is
-    a *scanned input* (per-block linear ramp), so one traced block serves a
-    whole stage — ~17x smaller HLO for the b5 stage 3 and the natural unit
-    for rematerialization."""
+    """MiTBlock in (carry, x) form for nn.scan: the stochastic-depth rate
+    AND the pre-drawn drop-path uniforms are *scanned inputs* (per-block
+    linear ramp), so one traced block serves a whole stage — ~17x smaller
+    HLO for the b5 stage 3 and the natural unit for rematerialization.
+
+    The drop-path uniforms are drawn OUTSIDE the scan (one threefry for the
+    whole stage): an in-scan ``make_rng`` serializes the loop on the TPU
+    scalar unit — measured 45 ms vs 17 ms for the b5 stage-3 fwd scan
+    (r3 profile, docs/PERF.md)."""
     dim: int
     num_heads: int
     mlp_ratio: int
@@ -178,27 +183,27 @@ class MiTBlockScan(nn.Module):
     deterministic: bool
     dtype: jnp.dtype = jnp.float32
 
-    def _drop_path(self, y, rate, rng_name):
+    def _drop_path(self, y, rate, u):
+        """u: [B] pre-drawn uniforms; keep iff u < 1 - rate (== bernoulli)."""
         if self.deterministic:
             return y
         keep = (1.0 - rate).astype(jnp.float32)
-        rng = self.make_rng(rng_name)
-        shape = (y.shape[0],) + (1,) * (y.ndim - 1)
-        mask = jax.random.bernoulli(rng, keep, shape)
+        mask = (u < keep).reshape((y.shape[0],) + (1,) * (y.ndim - 1))
         scaled = y / keep.astype(y.dtype)
         return jnp.where(mask, scaled, jnp.zeros_like(y))
 
     @nn.compact
-    def __call__(self, x, drop_path_rate):
+    def __call__(self, x, scan_in):
+        drop_path_rate, u = scan_in            # u: [2, B]
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = SRAttention(self.dim, self.num_heads, self.sr_ratio, self.qkv_bias,
                         self.attn_drop_rate, self.drop_rate, dtype=self.dtype,
                         name="attn")(y, self.hw, self.deterministic)
-        x = x + self._drop_path(y, drop_path_rate, "droppath")
+        x = x + self._drop_path(y, drop_path_rate, u[0])
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = MixFFN(self.dim * self.mlp_ratio, self.dim, self.drop_rate,
                    dtype=self.dtype, name="mlp")(y, self.hw, self.deterministic)
-        x = x + self._drop_path(y, drop_path_rate, "droppath")
+        x = x + self._drop_path(y, drop_path_rate, u[1])
         return x, None
 
 
@@ -263,10 +268,16 @@ class MixVisionTransformer(nn.Module):
             ScanStage = nn.scan(
                 block_cls,
                 variable_axes={"params": 0},
-                split_rngs={"params": True, "dropout": True, "droppath": True},
+                split_rngs={"params": True, "dropout": True},
                 in_axes=0, length=depth,
                 metadata_params={nn.meta.PARTITION_NAME: None})
             stage_dpr = jnp.asarray(dpr[cur: cur + depth], jnp.float32)
+            if deterministic:
+                stage_u = jnp.ones((depth, 2, x.shape[0]), jnp.float32)
+            else:
+                # one threefry per stage, outside the scan (see MiTBlockScan)
+                stage_u = jax.random.uniform(
+                    self.make_rng("droppath"), (depth, 2, x.shape[0]))
             x, _ = ScanStage(
                 dim=cfg.embed_dims[stage],
                 num_heads=cfg.num_heads[stage],
@@ -277,7 +288,7 @@ class MixVisionTransformer(nn.Module):
                 attn_drop_rate=cfg.attn_drop_rate,
                 hw=(h, w), deterministic=deterministic,
                 dtype=self.dtype,
-                name=f"blocks{stage + 1}")(x, stage_dpr)
+                name=f"blocks{stage + 1}")(x, (stage_dpr, stage_u))
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                              name=f"norm{stage + 1}")(x)
             x = x.reshape(x.shape[0], h, w, cfg.embed_dims[stage])

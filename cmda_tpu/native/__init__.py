@@ -58,6 +58,19 @@ def lib():
     L.cmda_voxel_batch.argtypes = [f32p, f32p, f32p, f32p, i64p, ctypes.c_int,
                                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                    ctypes.c_float, f32p]
+    L.cmda_inflate.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+    L.cmda_inflate.restype = ctypes.c_int64
+    L.cmda_unshuffle.argtypes = [u8p, ctypes.c_int64, ctypes.c_int, u8p]
+    L.cmda_inflate_batch.argtypes = [u8p, i64p, ctypes.c_int, ctypes.c_int64,
+                                     ctypes.c_int, ctypes.c_int, u8p]
+    L.cmda_inflate_batch.restype = ctypes.c_int
+    if hasattr(L, "cmda_png_decode"):
+        L.cmda_png_info.argtypes = [u8p, ctypes.c_int64,
+                                    ctypes.POINTER(ctypes.c_int),
+                                    ctypes.POINTER(ctypes.c_int)]
+        L.cmda_png_info.restype = ctypes.c_int
+        L.cmda_png_decode.argtypes = [u8p, ctypes.c_int64, ctypes.c_int, u8p]
+        L.cmda_png_decode.restype = ctypes.c_int
     _lib = L
     return _lib
 
@@ -102,6 +115,62 @@ def isr(gray: np.ndarray, *, val_range, threshold: float, clip_range: float,
                    threshold, clip_range, shift_pixel,
                    DIRECTION_IDS[direction], _fp(out))
     return out
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def inflate(data: bytes, out_size: int) -> np.ndarray:
+    """zlib-inflate one HDF5 gzip chunk (GIL released during the call)."""
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(out_size, np.uint8)
+    n = lib().cmda_inflate(_u8p(src), len(src), _u8p(out), out_size)
+    if n < 0:
+        raise ValueError("inflate failed")
+    return out[:n]
+
+
+def unshuffle(data: np.ndarray, elem_size: int) -> np.ndarray:
+    """Undo the HDF5 byte-shuffle filter."""
+    src = np.ascontiguousarray(data, np.uint8)
+    out = np.empty_like(src)
+    lib().cmda_unshuffle(_u8p(src), src.size, elem_size, _u8p(out))
+    return out
+
+
+def inflate_batch(chunks: list, chunk_bytes: int, elem_size: int,
+                  do_unshuffle: bool) -> np.ndarray:
+    """Decode many raw HDF5 chunks in parallel C++ threads.
+    Returns a [n_chunks, chunk_bytes] uint8 array."""
+    offsets = np.zeros(len(chunks) + 1, np.int64)
+    offsets[1:] = np.cumsum([len(c) for c in chunks])
+    src = np.frombuffer(b"".join(chunks), np.uint8)
+    out = np.empty((len(chunks), chunk_bytes), np.uint8)
+    rc = lib().cmda_inflate_batch(
+        _u8p(src), offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(chunks), chunk_bytes, elem_size, int(do_unshuffle), _u8p(out))
+    if rc != 0:
+        raise ValueError("inflate_batch failed")
+    return out
+
+
+def png_available() -> bool:
+    return available() and hasattr(lib(), "cmda_png_decode")
+
+
+def png_decode(data: bytes, gray: bool = False) -> np.ndarray:
+    """Decode a PNG from memory via libpng (no PIL, GIL-free)."""
+    src = np.frombuffer(data, np.uint8)
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if lib().cmda_png_info(_u8p(src), len(src), ctypes.byref(w),
+                           ctypes.byref(h)) != 0:
+        raise ValueError("bad png")
+    ch = 1 if gray else 3
+    out = np.empty((h.value, w.value, ch), np.uint8)
+    if lib().cmda_png_decode(_u8p(src), len(src), ch, _u8p(out)) != 0:
+        raise ValueError("png decode failed")
+    return out[..., 0] if gray else out
 
 
 def voxel_batch(t, x, y, p, offsets, *, bins: int, height: int, width: int,

@@ -14,15 +14,27 @@ LIB = os.path.join(HERE, "libcmda_ingest.so")
 
 
 def build(verbose: bool = True) -> str:
-    cmd = [
+    base = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
         "-march=native", "-ffast-math", "-fno-finite-math-only",
         SRC, "-o", LIB,
     ]
-    if verbose:
-        print(" ".join(cmd))
-    subprocess.run(cmd, check=True)
-    return LIB
+    # full build links zlib (h5 chunk inflate) + libpng (frame decode);
+    # degrade gracefully on images without the headers
+    attempts = [
+        base + ["-lpng", "-lz"],
+        base + ["-DCMDA_NO_PNG", "-lz"],
+    ]
+    last = None
+    for cmd in attempts:
+        if verbose:
+            print(" ".join(cmd))
+        try:
+            subprocess.run(cmd, check=True, capture_output=not verbose)
+            return LIB
+        except subprocess.CalledProcessError as e:
+            last = e
+    raise last
 
 
 if __name__ == "__main__":

@@ -17,6 +17,11 @@
 #include <thread>
 #include <vector>
 
+#include <zlib.h>
+#ifndef CMDA_NO_PNG
+#include <png.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -215,5 +220,106 @@ void cmda_voxel_batch(const float* t, const float* x, const float* y,
   for (int i = 0; i < n_threads; ++i) pool.emplace_back(work);
   for (auto& th : pool) th.join();
 }
+
+// ---------------------------------------------------------------------------
+// HDF5 chunk decode (SURVEY §2.9: C++ event-stream reader). The Python side
+// reads RAW compressed chunks via h5py's read_direct_chunk (metadata-only);
+// the deflate + shuffle filters — where the CPU time goes — run here,
+// GIL-free under ctypes. Mirrors the filter pipeline of DSEC events.h5
+// (gzip [+ byte-shuffle], reference mmseg/datasets/dsec.py:3-4 hdf5plugin).
+// ---------------------------------------------------------------------------
+
+// zlib inflate; returns bytes written, or -1 on error.
+int64_t cmda_inflate(const uint8_t* src, int64_t src_len, uint8_t* dst,
+                     int64_t dst_cap) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) return -1;
+  zs.next_in = const_cast<Bytef*>(src);
+  zs.avail_in = static_cast<uInt>(src_len);
+  zs.next_out = dst;
+  zs.avail_out = static_cast<uInt>(dst_cap);
+  const int rc = inflate(&zs, Z_FINISH);
+  const int64_t written = static_cast<int64_t>(zs.total_out);
+  inflateEnd(&zs);
+  return (rc == Z_STREAM_END || rc == Z_OK) ? written : -1;
+}
+
+// HDF5 shuffle filter undo: chunk stores all byte-0s, then all byte-1s, ...
+void cmda_unshuffle(const uint8_t* src, int64_t nbytes, int elem_size,
+                    uint8_t* dst) {
+  const int64_t n = nbytes / elem_size;
+  for (int e = 0; e < elem_size; ++e) {
+    const uint8_t* plane = src + e * n;
+    for (int64_t i = 0; i < n; ++i) dst[i * elem_size + e] = plane[i];
+  }
+}
+
+// Batched: decode B chunks (inflate [+ unshuffle]) in parallel threads.
+// srcs = concatenated raw chunks with offsets[B+1]; dst chunks are
+// chunk_bytes apart.
+// Returns 0 on success, -1 if any chunk failed.
+int cmda_inflate_batch(const uint8_t* srcs, const int64_t* offsets, int batch,
+                       int64_t chunk_bytes, int elem_size, int do_unshuffle,
+                       uint8_t* dst) {
+  std::atomic<int> next(0), bad(0);
+  const int n_threads =
+      std::min<int>(batch, std::max(1u, std::thread::hardware_concurrency()));
+  auto work = [&]() {
+    std::vector<uint8_t> tmp;
+    int i;
+    while ((i = next.fetch_add(1)) < batch) {
+      const uint8_t* src = srcs + offsets[i];
+      const int64_t len = offsets[i + 1] - offsets[i];
+      uint8_t* out = dst + static_cast<int64_t>(i) * chunk_bytes;
+      if (do_unshuffle) {
+        tmp.resize(chunk_bytes);
+        if (cmda_inflate(src, len, tmp.data(), chunk_bytes) < 0) { bad = 1; continue; }
+        cmda_unshuffle(tmp.data(), chunk_bytes, elem_size, out);
+      } else {
+        if (cmda_inflate(src, len, out, chunk_bytes) < 0) bad = 1;
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 0; i < n_threads; ++i) pool.emplace_back(work);
+  for (auto& th : pool) th.join();
+  return bad ? -1 : 0;
+}
+
+#ifndef CMDA_NO_PNG
+// ---------------------------------------------------------------------------
+// PNG decode from memory (libpng simplified API) — the other half of the
+// host decode path (reference datasets open every frame with PIL).
+// channels: 1 = gray (PIL 'L' is computed separately for exactness — this
+// gray is libpng's), 3 = RGB. Returns 0 ok.
+// ---------------------------------------------------------------------------
+int cmda_png_info(const uint8_t* data, int64_t len, int* w, int* h) {
+  png_image image;
+  std::memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&image, data, static_cast<size_t>(len)))
+    return -1;
+  *w = static_cast<int>(image.width);
+  *h = static_cast<int>(image.height);
+  png_image_free(&image);
+  return 0;
+}
+
+int cmda_png_decode(const uint8_t* data, int64_t len, int channels,
+                    uint8_t* out /* h*w*channels */) {
+  png_image image;
+  std::memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&image, data, static_cast<size_t>(len)))
+    return -1;
+  image.format = channels == 1 ? PNG_FORMAT_GRAY : PNG_FORMAT_RGB;
+  if (!png_image_finish_read(&image, nullptr, out, 0, nullptr)) {
+    png_image_free(&image);
+    return -1;
+  }
+  return 0;
+}
+#endif  // CMDA_NO_PNG
 
 }  // extern "C"

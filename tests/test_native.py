@@ -76,3 +76,55 @@ def test_voxel_batch_threaded():
                             (3000 - 1) * scale)
     np.testing.assert_allclose(got[0], ref1, atol=1e-3)
     np.testing.assert_allclose(got[1], ref2, atol=1e-3)
+
+
+def test_native_h5_read_slice_matches_h5py(tmp_path):
+    """C++ chunk decode (inflate [+unshuffle]) == h5py slicing on a
+    DSEC-style gzip events dataset."""
+    h5py = pytest.importorskip("h5py")
+    from cmda_tpu.data.native_h5 import read_slice
+    rng = np.random.default_rng(0)
+    path = tmp_path / "ev.h5"
+    n = 100_000
+    with h5py.File(path, "w") as f:
+        f.create_dataset("t", data=rng.integers(0, 1 << 40, n, dtype=np.int64),
+                         chunks=(4096,), compression="gzip", shuffle=True)
+        f.create_dataset("x", data=rng.integers(0, 640, n, dtype=np.uint16),
+                         chunks=(8192,), compression="gzip")
+    with h5py.File(path, "r") as f:
+        for start, stop in ((0, 10), (4000, 9000), (95_000, 100_000),
+                            (99_990, 100_000), (0, n)):
+            np.testing.assert_array_equal(
+                read_slice(f["t"], start, stop), f["t"][start:stop])
+            np.testing.assert_array_equal(
+                read_slice(f["x"], start, stop), f["x"][start:stop])
+
+
+def test_native_png_decode_matches_pil(tmp_path):
+    from cmda_tpu import native
+    if not native.png_available():
+        pytest.skip("libpng not linked")
+    from PIL import Image
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 256, (41, 67, 3), dtype=np.uint8)
+    p = tmp_path / "x.png"
+    Image.fromarray(arr).save(p)
+    data = p.read_bytes()
+    np.testing.assert_array_equal(native.png_decode(data), arr)
+    # grayscale frame round-trip (single-channel PNG)
+    g = rng.integers(0, 256, (23, 31), dtype=np.uint8)
+    pg = tmp_path / "g.png"
+    Image.fromarray(g, mode="L").save(pg)
+    np.testing.assert_array_equal(native.png_decode(pg.read_bytes(),
+                                                    gray=True), g)
+
+
+def test_open_rgb_uses_native_and_matches_pil(tmp_path):
+    from cmda_tpu.data.host_isr import open_rgb
+    from PIL import Image
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    p = tmp_path / "img.png"
+    Image.fromarray(arr).save(p)
+    got = np.asarray(open_rgb(str(p)))
+    np.testing.assert_array_equal(got, arr)
