@@ -48,8 +48,64 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+class StreamBatchNorm(nn.Module):
+    """BatchNorm with optional leading stream-group axis.
+
+    ``stream_groups=1`` matches ``nn.BatchNorm(momentum=0.9, epsilon=1e-5)``
+    (same variable tree: params bn.{scale,bias}, batch_stats bn.{mean,var}).
+
+    ``stream_groups=k`` treats the batch as k stacked stream calls through a
+    *shared* decoder (the batched fast path of DAFormerFusionHead): each
+    group is normalized by its own batch statistics — bitwise the same math
+    as k sequential module calls (reference daformer_head.py:305-322 decodes
+    image/events/fusion/ISR one after another through one shared decoder) —
+    and the running stats receive the exact k-fold sequential EMA update
+    r' = m^k r + (1-m) * sum_i m^(k-1-i) s_i."""
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, stream_groups: int = 1):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if not train:
+            mean, var = ra_mean.value, ra_var.value
+            y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(
+                var + self.epsilon) * scale + bias
+            return y.astype(self.dtype)
+
+        g = stream_groups
+        xf = x.astype(jnp.float32)
+        xg = xf.reshape((g, -1) + x.shape[1:])          # [g, B/g, ..., C]
+        red = tuple(range(1, xg.ndim - 1))
+        gm = jnp.mean(xg, axis=red)                     # [g, C]
+        gv = jnp.mean(jnp.square(xg), axis=red) - jnp.square(gm)
+        shape = (g,) + (1,) * (xg.ndim - 2) + (c,)
+        y = (xg - gm.reshape(shape)) * jax.lax.rsqrt(
+            gv.reshape(shape) + self.epsilon) * scale + bias
+        y = y.reshape(x.shape).astype(self.dtype)
+        if not self.is_initializing():
+            m = self.momentum
+            w = (1.0 - m) * (m ** jnp.arange(g - 1, -1, -1,
+                                             dtype=jnp.float32))
+            ra_mean.value = (m ** g) * ra_mean.value + jnp.tensordot(
+                w, gm, axes=1)
+            ra_var.value = (m ** g) * ra_var.value + jnp.tensordot(
+                w, gv, axes=1)
+        return y
+
+
 class ConvBNReLU(nn.Module):
-    """mmcv ConvModule(conv -> BN -> ReLU) equivalent, NHWC."""
+    """mmcv ConvModule(conv -> BN -> ReLU) equivalent, NHWC.
+
+    ``stream_groups`` (call-time) enables the grouped-BN batched-stream
+    path — see StreamBatchNorm."""
     features: int
     kernel_size: int = 3
     strides: int = 1
@@ -61,7 +117,7 @@ class ConvBNReLU(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stream_groups: int = 1):
         bias = (not self.use_norm) if self.use_bias is None else self.use_bias
         pad = self.dilation * (self.kernel_size // 2)
         x = nn.Conv(
@@ -74,9 +130,8 @@ class ConvBNReLU(nn.Module):
             kernel_init=conv_fanout_init if self.groups == 1 else dwconv_fanout_init,
             dtype=self.dtype, name="conv")(x)
         if self.use_norm:
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name="bn")(x)
+            x = StreamBatchNorm(dtype=self.dtype, name="bn")(
+                x, train, stream_groups)
         if self.use_act:
             x = nn.relu(x)
         return x

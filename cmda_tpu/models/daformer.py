@@ -48,12 +48,12 @@ class SepConvBNReLU(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stream_groups: int = 1):
         x = ConvBNReLU(x.shape[-1], self.kernel_size, dilation=self.dilation,
                        groups=x.shape[-1], dtype=self.dtype,
-                       name="depthwise")(x, train)
+                       name="depthwise")(x, train, stream_groups)
         x = ConvBNReLU(self.features, 1, dtype=self.dtype,
-                       name="pointwise")(x, train)
+                       name="pointwise")(x, train, stream_groups)
         return x
 
 
@@ -64,19 +64,20 @@ class SepASPP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stream_groups: int = 1):
         branches = []
         for i, d in enumerate(self.dilations):
             if d == 1:
                 y = ConvBNReLU(self.channels, 1, dtype=self.dtype,
-                               name=f"aspp{i}")(x, train)
+                               name=f"aspp{i}")(x, train, stream_groups)
             else:
                 y = SepConvBNReLU(self.channels, 3, dilation=d,
-                                  dtype=self.dtype, name=f"aspp{i}")(x, train)
+                                  dtype=self.dtype,
+                                  name=f"aspp{i}")(x, train, stream_groups)
             branches.append(y)
         y = jnp.concatenate(branches, axis=-1)
         y = ConvBNReLU(self.channels, 3, dtype=self.dtype,
-                       name="bottleneck")(y, train)
+                       name="bottleneck")(y, train, stream_groups)
         return y
 
 
@@ -87,15 +88,15 @@ class PlainASPP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stream_groups: int = 1):
         branches = []
         for i, d in enumerate(self.dilations):
             branches.append(ConvBNReLU(
                 self.channels, 1 if d == 1 else 3, dilation=d,
-                dtype=self.dtype, name=f"aspp{i}")(x, train))
+                dtype=self.dtype, name=f"aspp{i}")(x, train, stream_groups))
         y = jnp.concatenate(branches, axis=-1)
         return ConvBNReLU(self.channels, 3, dtype=self.dtype,
-                          name="bottleneck")(y, train)
+                          name="bottleneck")(y, train, stream_groups)
 
 
 class DAFormerDecoder(nn.Module):
@@ -104,7 +105,7 @@ class DAFormerDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, train: bool = False):
+    def __call__(self, feats, train: bool = False, stream_groups: int = 1):
         cfg = self.cfg
         target_hw = feats[0].shape[1:3]
         embeds = []
@@ -117,21 +118,21 @@ class DAFormerDecoder(nn.Module):
         x = jnp.concatenate(embeds, axis=-1)
         if cfg.fusion_type == "aspp":
             x = SepASPP(cfg.channels, cfg.aspp_dilations, dtype=self.dtype,
-                        name="fuse")(x, train)
+                        name="fuse")(x, train, stream_groups)
         elif cfg.fusion_type == "aspp_nonsep":
             # plain-conv ASPP branches (reference daformer_aspp variant)
             x = PlainASPP(cfg.channels, cfg.aspp_dilations, dtype=self.dtype,
-                          name="fuse")(x, train)
+                          name="fuse")(x, train, stream_groups)
         elif cfg.fusion_type == "conv":
             x = ConvBNReLU(cfg.channels, 1, dtype=self.dtype,
-                           name="fuse")(x, train)
+                           name="fuse")(x, train, stream_groups)
         elif cfg.fusion_type == "rawconv_and_aspp":
             # raw 3x3 conv then sepASPP (reference daformer_head.py:103-111
             # 'rawconv_and_aspp' == daformer_sepaspp_bottleneck)
             x = nn.Conv(cfg.channels, (3, 3), padding=((1, 1), (1, 1)),
                         dtype=self.dtype, name="fuse_rawconv")(x)
             x = SepASPP(cfg.channels, cfg.aspp_dilations, dtype=self.dtype,
-                        name="fuse")(x, train)
+                        name="fuse")(x, train, stream_groups)
         elif cfg.fusion_type == "isa":
             # interlaced sparse self-attention fuse (reference 'isa' type)
             from .heads import ISALayer
@@ -194,16 +195,21 @@ class DAFormerFusionHead(nn.Module):
     split_cls: bool = False
     events_classes: int | None = None
     remat: bool = False
+    # decode all shared streams as ONE stacked-batch pass. Always on in
+    # eval (running-stats BN -> exactly the sequential result, ~4x fewer
+    # head ops); during training (batch-stats BN) only when opted in —
+    # the batched backward's working set costs ~0.3 GB extra HBM, which
+    # OOMs the b5 recipe at batch 8 on a 16 GB v5e (docs/PERF.md) but is
+    # free on larger-HBM parts. StreamBatchNorm(stream_groups=k) keeps
+    # train-mode numerics identical to the sequential loop.
+    batched_train: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        dec_cls = (nn.remat(DAFormerDecoder, static_argnums=(2,),
-                            prevent_cse=False)
-                   if self.remat else DAFormerDecoder)
-        self.decoder_image = dec_cls(self.cfg, dtype=self.dtype)
+        self.decoder_image = DAFormerDecoder(self.cfg, dtype=self.dtype)
         if self.share == "none":
-            self.decoder_events = dec_cls(self.cfg, dtype=self.dtype)
-            self.decoder_fusion = dec_cls(self.cfg, dtype=self.dtype)
+            self.decoder_events = DAFormerDecoder(self.cfg, dtype=self.dtype)
+            self.decoder_fusion = DAFormerDecoder(self.cfg, dtype=self.dtype)
         self.cls = Classifier(self.cfg.num_classes, self.cfg.dropout_ratio,
                               dtype=self.dtype)
         if self.split_cls:
@@ -213,13 +219,18 @@ class DAFormerFusionHead(nn.Module):
             self.cls_fusion = Classifier(self.cfg.num_classes,
                                          self.cfg.dropout_ratio, dtype=self.dtype)
 
-    def _decode(self, which: str, feats, bn_train: bool):
+    def _decode(self, which: str, feats, bn_train: bool,
+                stream_groups: int = 1, remat: bool | None = None):
         if self.share == "none":
             dec = {"image": self.decoder_image, "events": self.decoder_events,
                    "fusion": self.decoder_fusion}[which]
         else:
             dec = self.decoder_image
-        return dec(feats, bn_train)
+        if self.remat if remat is None else remat:
+            fn = nn.remat(DAFormerDecoder.__call__, prevent_cse=False,
+                          static_argnums=(2, 3))
+            return fn(dec, feats, bn_train, stream_groups)
+        return dec(feats, bn_train, stream_groups)
 
     def _cls(self, which: str, x, train: bool):
         det = not train
@@ -245,19 +256,51 @@ class DAFormerFusionHead(nn.Module):
         def want(name):
             return streams is None or name in streams
 
+        plan = [("image", "image_output", feats.get("f_image")),
+                ("events", "events_output", feats.get("f_events")),
+                ("fusion", "fusion_output", feats.get("f_fusion")),
+                ("isr", "img_self_res_output", feats.get("f_img_self_res"))]
+        active = [(n, k, f) for n, k, f in plan if f is not None and want(n)]
         out = {"image_output": None, "events_output": None,
                "fusion_output": None, "img_self_res_output": None}
-        if want("image"):
-            out["image_output"] = self._cls(
-                "image", self._decode("image", feats["f_image"], bn), train)
-        if feats.get("f_events") is not None and want("events"):
-            out["events_output"] = self._cls(
-                "events", self._decode("events", feats["f_events"], bn), train)
-        if feats.get("f_fusion") is not None and want("fusion"):
-            out["fusion_output"] = self._cls(
-                "fusion", self._decode("fusion", feats["f_fusion"], bn), train)
-        if feats.get("f_img_self_res") is not None and want("isr"):
-            # ISR rides the events decoder + events classifier
-            out["img_self_res_output"] = self._cls(
-                "isr", self._decode("events", feats["f_img_self_res"], bn), train)
+
+        if (self.share == "full" and not self.split_cls and len(active) > 1
+                and self.cfg.fusion_type != "isa"     # ISA fuse: BN inside
+                                                      # attention not grouped
+                and (not bn or self.batched_train)):
+            # Batched fast path: one decoder + one classifier for every
+            # stream -> stack the pyramids along batch and decode ONCE.
+            # StreamBatchNorm(stream_groups=k) keeps per-stream batch
+            # statistics + the sequential running-stat update, so this is
+            # numerically the per-stream loop (reference decodes streams
+            # one after another through the shared decoder,
+            # daformer_head.py:305-322); it cuts the head's op count ~4x
+            # (the r3 profile's ~300 ms non-scan tail, docs/PERF.md).
+            k = len(active)
+            scales = tuple(tuple(f[i] for _, _, f in active)
+                           for i in range(len(active[0][2])))
+
+            def stack_decode(mdl, per_scale, bn_train, do_train, groups):
+                # concat AND classifier live INSIDE the remat region: the
+                # saved residuals are the original per-stream pyramids +
+                # the stride-4 logits — not the stacked copy (~130 MB) nor
+                # the f32 pre-classifier activations (~512 MB at b8)
+                stacked = [jnp.concatenate(list(fs), axis=0)
+                           for fs in per_scale]
+                dec = DAFormerFusionHead._decode(
+                    mdl, "image", stacked, bn_train, groups, remat=False)
+                return mdl._cls("image", dec, do_train)
+
+            if self.remat:
+                stack_decode = nn.remat(stack_decode, prevent_cse=False,
+                                        static_argnums=(2, 3, 4))
+            logits = stack_decode(self, scales, bn, train, k)
+            b = active[0][2][0].shape[0]
+            for j, (_, key, _f) in enumerate(active):
+                out[key] = logits[j * b: (j + 1) * b]
+            return out
+
+        for name, key, f in active:
+            dec_name = "events" if name == "isr" else name
+            out[key] = self._cls(name, self._decode(dec_name, f, bn), train)
         return out

@@ -44,6 +44,9 @@ class SegmentorConfig:
     drop_path_rate: float = 0.1
     remat: bool = False   # checkpoint each encoder block (memory vs FLOPs)
     remat_policy: str = "full"  # 'full' | 'dots' (save matmul outputs)
+    # batched multi-stream head decode during TRAINING (eval always
+    # batches): opt-in — costs ~0.3 GB HBM, OOMs b5@batch8 on 16 GB v5e
+    head_batched_train: bool = False
 
 
 def _dtype_of(name):
@@ -163,7 +166,7 @@ class FusionEncoderDecoder(nn.Module):
             self.cfg.head, share=self.cfg.share_decoder,
             split_cls=self.cfg.split_cls,
             events_classes=self.cfg.events_classes, remat=self.cfg.remat,
-            dtype=self.dtype)
+            batched_train=self.cfg.head_batched_train, dtype=self.dtype)
 
     def extract_feat(self, image, events, img_self_res=None,
                      mode: str = "default", train: bool = False):

@@ -29,6 +29,11 @@ def multi_stream_loss(logits: dict, label, seg_weight, *, w_image: float,
     label [B,H,W] int; seg_weight [B,H,W] or None.  Returns (loss, logs)."""
     size = label.shape[1:3]
 
+    # jax.checkpoint: the resized-to-label f32 logits ([B,512,512,19] ~=
+    # 160 MB per stream at b8) are recomputed in backward from the
+    # stride-4 logits instead of being saved — 4 streams x 2 passes of
+    # these were the HBM peak at batch 8 (r3 OOM margin, docs/PERF.md)
+    @jax.checkpoint
     def stream_ce(x):
         return weighted_cross_entropy(
             resize_bilinear(x, size), label, seg_weight,
@@ -119,6 +124,7 @@ def split_stream_loss(logits: dict, labels: dict, weights: dict, *,
     (decode_head.py:494-523 with fusion_output None)."""
     size = labels["image"].shape[1:3]
 
+    @jax.checkpoint
     def ce(x, lbl, w):
         return weighted_cross_entropy(resize_bilinear(x, size), lbl, w,
                                       ignore_index=ignore_index)

@@ -139,15 +139,14 @@ def test_scanned_stage_matches_torch_block_loop():
                               to_numpy(b.state_dict()).items()}, "t")
           for b in blocks])
     Scan = fnn.scan(MiTBlockScan, variable_axes={"params": 0},
-                    split_rngs={"params": True, "dropout": True,
-                                "droppath": True},
+                    split_rngs={"params": True, "dropout": True},
                     in_axes=0, length=depth,
                     metadata_params={fnn.meta.PARTITION_NAME: None})
     mod = Scan(dim=dim, num_heads=heads, mlp_ratio=4, sr_ratio=2,
                qkv_bias=True, drop_rate=0.0, attn_drop_rate=0.0,
                hw=(H, W), deterministic=True)
     out, _ = mod.apply({"params": stacked}, jnp.asarray(x.numpy()),
-                       jnp.zeros((depth,)))
+                       (jnp.zeros((depth,)), jnp.ones((depth, 2, 2))))
     np.testing.assert_allclose(np.asarray(out), oracle, atol=5e-5)
 
 
