@@ -94,15 +94,23 @@ def main():
     sps = None
     ladder = (args.batch,) if args.batch else (8, 4, 2)
     for bs in ladder:
-        try:
-            sps = run(bs, steps=args.steps, remat=args.remat)
-            batch_size = bs
+        # the axon remote-compile service 500s transiently
+        # (TPU_WORKER_HOSTNAMES hiccups — CLAUDE.md); retry those, but
+        # treat a genuine HBM OOM as final for this batch size
+        for attempt in range(2):
+            try:
+                sps = run(bs, steps=args.steps, remat=args.remat)
+                batch_size = bs
+                break
+            except Exception as e:
+                print(f"[bench] batch {bs} attempt {attempt}: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+                err = e
+                if "memory space hbm" in str(e) or "RESOURCE_EXHAUSTED" in str(e):
+                    break   # genuine OOM: fall to the next batch size
+                time.sleep(30)
+        if sps is not None:
             break
-        except Exception as e:  # OOM fallback to smaller batch
-            print(f"[bench] batch {bs} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr, flush=True)
-            err = e
-            continue
     if sps is None:
         raise err
     print(json.dumps({

@@ -188,6 +188,59 @@ def uda_grid():
     return variants
 
 
+def legacy_uda_grid():
+    """OrgDACS (image-only DAFormer DACS) variant axes of the reference
+    legacy experiment grids (reference experiments.py:320-362 exp 5/6:
+    dacs / dacs_fd / dacs_a999_fdthings / plcrop)."""
+    from cmda_tpu.config import tiny_test_config, replace
+    base = tiny_test_config()
+    base = replace(base, model=replace(base.model, train_type="cs2dz_image",
+                                       fusion="", fusion_isr=""))
+    fd_classes = (6, 7, 11, 12, 13, 14, 15, 16, 17, 18)
+    return [
+        ("org_dacs", base),
+        ("org_dacs_fd", replace(base, uda=replace(
+            base.uda, imnet_feature_dist_lambda=0.005))),
+        ("org_dacs_a999_fdthings", replace(base, uda=replace(
+            base.uda, alpha=0.999, imnet_feature_dist_lambda=0.005,
+            imnet_feature_dist_classes=fd_classes,
+            imnet_feature_dist_scale_min_ratio=0.75))),
+        ("org_dacs_plcrop", replace(base, uda=replace(
+            base.uda, pseudo_weight_ignore_top=15,
+            pseudo_weight_ignore_bottom=120))),
+    ]
+
+
+def org_smoke_run(name, cfg, iters=2, eager=False):
+    """2-iter OrgDACS smoke (the legacy-grid analogue of smoke_run)."""
+    import contextlib
+    import jax
+    import jax.numpy as jnp
+    from cmda_tpu.uda.org_dacs import OrgDACSTrainer
+    from cmda_tpu.data.synthetic import SyntheticSource, SyntheticTarget
+    from cmda_tpu.data.uda import UDAPairDataset
+
+    src = SyntheticSource(crop_size=cfg.data.crop_size, with_time_res=False)
+    tgt = SyntheticTarget(crop_size=cfg.data.crop_size, with_events=False)
+    pair = UDAPairDataset(src, tgt, seed=0)
+    trainer = OrgDACSTrainer(cfg)
+    imnet = None
+    if trainer.enable_fdist:
+        # frozen "ImageNet" feature net: random stand-in for the smoke run
+        # (real runs import torch weights via tools/train.py --imnet)
+        h, w = cfg.data.crop_size
+        imnet = trainer.model.init(
+            jax.random.PRNGKey(7),
+            jnp.zeros((1, h, w, 3), jnp.float32))["params"]
+    state = trainer.init_state(jax.random.PRNGKey(0), imnet_params=imnet)
+    step = (trainer.train_step if eager
+            else jax.jit(trainer.train_step, donate_argnums=()))
+    ctx = jax.disable_jit() if eager else contextlib.nullcontext()
+    with ctx:
+        loss = _run_iters(cfg, pair, trainer, state, step, iters)
+    return loss
+
+
 def smoke_run(name, cfg, iters=2, eager=False):
     import contextlib
     import jax
@@ -237,7 +290,7 @@ def _run_iters(cfg, pair, trainer, state, step, iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", type=int, required=True,
-                    help="1=cs2dsec 2=cs2dz 100=arch grid 101=uda grid")
+                    help="1=cs2dsec 2=cs2dz 100=arch grid 101=uda grid 102=legacy OrgDACS grid")
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--eager", action="store_true",
                     help="run steps with jax.disable_jit (the tiny-config "
@@ -274,6 +327,17 @@ def main():
         for name, backbone, head in legacy_architecture_grid():
             try:
                 loss = supervised_smoke(name, backbone, head, args.iters)
+                results[name] = {"ok": True, "loss": loss}
+                print(f"[OK]   {name}: loss={loss:.3f}", flush=True)
+            except Exception as e:
+                results[name] = {"ok": False,
+                                 "error": f"{type(e).__name__}: {e}"}
+                print(f"[FAIL] {name}: {e}", flush=True)
+                traceback.print_exc()
+    elif args.exp == 102:
+        for name, cfg in legacy_uda_grid():
+            try:
+                loss = org_smoke_run(name, cfg, args.iters, eager=args.eager)
                 results[name] = {"ok": True, "loss": loss}
                 print(f"[OK]   {name}: loss={loss:.3f}", flush=True)
             except Exception as e:
