@@ -100,7 +100,11 @@ class OptimConfig:
 @dataclass(frozen=True)
 class DataConfig:
     batch_size: int = 2
+    # source crop == model input size == DSEC after-crop resize; the DSEC
+    # pre-resize crop is separate (reference my_run_experiments.py:212-224
+    # --train_size table; flagship: source 512, target 400 -> resize 512)
     crop_size: tuple[int, int] = (512, 512)
+    target_crop_size: tuple[int, int] = (400, 400)
     num_classes: int = 19
     source: str = "cityscapes_ic"
     target: str = "dsec"

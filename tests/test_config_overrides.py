@@ -61,6 +61,7 @@ def test_ablation_flags_map_to_config():
         "--day_events_generate", "gi_wo_cyclegan",
         "--source_isr_parms", "1-100-0.02-0.2-5",
         "--isd_shift_type", "all", "--test_mode",
+        "--train_size", "512-512",
     ])
     cfg = C.cs2dsec_image_events_b5()
     for path, val in train_cli.ablation_overrides(args):
@@ -77,6 +78,10 @@ def test_ablation_flags_map_to_config():
     assert cfg.data.source_isr == C.IsrParams((1.0, 100.0), 0.02, 0.2, 5)
     assert cfg.uda.shift_type == "all" and cfg.data.shift_type == "all"
     assert cfg.eval_interval == 5 and cfg.debug_img_interval == 3
+    # --train_size 512-512 keeps the DSEC pre-resize crop at 440
+    # (reference my_run_experiments.py:221-224)
+    assert cfg.data.crop_size == (512, 512)
+    assert cfg.data.target_crop_size == (440, 440)
 
 
 def test_dsec_fixed_clip_override(tmp_path):

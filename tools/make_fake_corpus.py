@@ -1,0 +1,107 @@
+"""Fabricate a miniature Cityscapes + DSEC corpus on disk.
+
+Produces the exact on-disk layout the real-data CLI path consumes
+(reference data conventions, SURVEY §2.2/2.3): Cityscapes frames + IC1
+temporal-diff PNGs + gtFine labelTrainIds + the two RCS json files, and a
+DSEC sequence (gzip-chunked events.h5, rectify map, warp images, event
+index txt, labels for the test split). Lets a CLI smoke run exercise the
+full real-files pipeline without any dataset download:
+
+  python tools/make_fake_corpus.py --root /tmp/corpus
+  python tools/train.py --config cs2dsec --backbone mit_b0 \\
+      --set model.head.in_channels=32,64,160,256 \\
+      --source-root /tmp/corpus/cityscapes \\
+      --target-txt /tmp/corpus/dsec/night_dataset_warp.txt \\
+      --val-txt /tmp/corpus/dsec/night_test_dataset_warp.txt \\
+      --rcs-json-dir /tmp/corpus/cityscapes --max-iters 3
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def fabricate_cityscapes(root: str, n_images: int = 6,
+                         size=(512, 256)) -> str:
+    """leftImg8bit/train + leftImg8bit_IC1 + gtFine + RCS jsons."""
+    g = np.random.default_rng(0)
+    img_dir = os.path.join(root, "leftImg8bit", "train", "faketown")
+    ic_dir = os.path.join(root, "leftImg8bit_IC1", "train", "faketown")
+    gt_dir = os.path.join(root, "gtFine", "train", "faketown")
+    for d in (img_dir, ic_dir, gt_dir):
+        os.makedirs(d, exist_ok=True)
+    w, h = size
+    stats_dict, with_class = {}, {}
+    for i in range(n_images):
+        name = f"faketown_{i:06d}_000019_leftImg8bit.png"
+        path = os.path.join(img_dir, name)
+        Image.fromarray(g.integers(0, 255, (h, w, 3), np.uint8)
+                        .astype(np.uint8)).save(path)
+        ic_name = name.replace("leftImg8bit", "leftImg8bit_IC1")[:-8] + ".png"
+        Image.fromarray(g.integers(0, 255, (h, w), np.uint8)
+                        .astype(np.uint8)).save(os.path.join(ic_dir, ic_name))
+        # blocky labels so RCS crops can find whole classes
+        lbl = np.repeat(np.repeat(
+            g.integers(0, 19, (h // 64, w // 64)).astype(np.uint8),
+            64, axis=0), 64, axis=1)[:h, :w]
+        lbl_name = name.replace("leftImg8bit", "gtFine")[:-4] \
+            + "_labelTrainIds.png"
+        Image.fromarray(lbl).save(os.path.join(gt_dir, lbl_name))
+        classes, counts = np.unique(lbl, return_counts=True)
+        stats_dict[path] = {str(int(c)): int(n)
+                            for c, n in zip(classes, counts)}
+        for c, n in zip(classes, counts):
+            with_class.setdefault(str(int(c)), []).append([path, int(n)])
+    with open(os.path.join(root, "sample_class_stats_dict.json"), "w") as f:
+        json.dump(stats_dict, f)
+    with open(os.path.join(root, "samples_with_class.json"), "w") as f:
+        json.dump(with_class, f)
+    return root
+
+
+def fabricate_dsec_with_labels(root: str, n_frames: int = 8,
+                               events_per_window: int = 20000):
+    """bench_ingest's DSEC fabricator + a labels/ dir + test split txt."""
+    from tools.bench_ingest import fabricate_dsec
+    g = np.random.default_rng(1)
+    txt = fabricate_dsec(root, n_frames, events_per_window)
+    seq_dir = os.path.join(root, "zurich_city_09_x")
+    lbl_dir = os.path.join(seq_dir, "labels")
+    os.makedirs(lbl_dir, exist_ok=True)
+    for i in range(1, n_frames):
+        lbl = np.repeat(np.repeat(
+            g.integers(0, 19, (480 // 32, 640 // 32)).astype(np.uint8),
+            32, axis=0), 32, axis=1)
+        Image.fromarray(lbl).save(os.path.join(
+            lbl_dir, f"zurich_city_09_x_{i:06d}_grey_gtFine_labelTrainIds.png"))
+    rows = open(txt).read().splitlines()
+    test_txt = os.path.join(root, "night_test_dataset_warp.txt")
+    with open(test_txt, "w") as f:
+        f.write("\n".join(rows[-2:]))
+    return txt, test_txt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--images", type=int, default=6)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--events-per-window", type=int, default=20000)
+    args = ap.parse_args()
+    cs = fabricate_cityscapes(os.path.join(args.root, "cityscapes"),
+                              args.images)
+    train_txt, test_txt = fabricate_dsec_with_labels(
+        os.path.join(args.root, "dsec"), args.frames, args.events_per_window)
+    print(json.dumps({"cityscapes": cs, "target_txt": train_txt,
+                      "val_txt": test_txt}))
+
+
+if __name__ == "__main__":
+    main()

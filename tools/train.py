@@ -134,8 +134,12 @@ def ablation_overrides(args):
     if args.fusion_isr:
         add("model.fusion_isr", _FUSION_NAMES[args.fusion_isr])
     if args.train_size:
+        # reference table (my_run_experiments.py:212-224): the 512 setting
+        # keeps the DSEC pre-resize crop at 440
         w, h = args.train_size.split("-")
         add("data.crop_size", f"{w},{h}")
+        tgt = "440,440" if args.train_size == "512-512" else f"{w},{h}"
+        add("data.target_crop_size", tgt)
     if args.day_events_generate:
         mode = {"gi_wo_cyclegan": "gray_image"}.get(
             args.day_events_generate, args.day_events_generate)
@@ -261,6 +265,7 @@ def build_datasets(cfg, args):
                   else cfg.uda.isr_params_3)
     src = CityscapesICDataset(
         d.source_root, isr_params=source_isr,
+        image_crop_size=d.crop_size,
         shift_type=d.shift_type, isr_noise=d.isr_noise,
         isr_cow_mask=d.isr_cow_mask, flare_dir=d.flare_dir,
         sky_noise_dir=d.sky_noise_dir, sky_mask=d.sky_mask,
@@ -271,6 +276,8 @@ def build_datasets(cfg, args):
         from cmda_tpu.data.dsec import DSECDataset
         tgt = DSECDataset(args.target_txt, events_bins=d.events_bins,
                           isr_params=d.target_isr,
+                          crop_size=d.target_crop_size,
+                          after_crop_resize_size=d.crop_size,
                           image_change_range=d.image_change_range,
                           events_clip_range=d.events_clip_range,
                           shift_type=d.shift_type)
@@ -282,6 +289,7 @@ def build_datasets(cfg, args):
         from cmda_tpu.data.dark_zurich import DarkZurichDataset
         tgt = DarkZurichDataset(cfg.data.target_root, split="train",
                                 isr_params=cfg.data.target_isr,
+                                image_crop_size=d.crop_size,
                                 shift_type=cfg.data.shift_type)
         val = DarkZurichDataset(cfg.data.target_root, split="val",
                                 isr_params=cfg.data.target_isr,
