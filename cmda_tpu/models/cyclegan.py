@@ -61,6 +61,32 @@ class TorchConvTranspose(nn.Module):
         return y
 
 
+class PaddedOutConv(nn.Module):
+    """7x7 VALID conv whose kernel is zero-padded to >=8 output channels at
+    apply time, then sliced back.
+
+    Same params and math as ``nn.Conv(output_nc, (7,7))`` (channel 0 of a
+    wider conv is bit-identical; the torch importer's conv_out.kernel/bias
+    mapping is unchanged) — but a 1-channel f32 [B,512,512,1] conv output
+    tiles pathologically on TPU (T(8,128) with 127/128 lanes dead: ~19 ms
+    vs ~3 ms, r3 trace, docs/PERF.md)."""
+    out_nc: int
+
+    @nn.compact
+    def __call__(self, y):
+        cin = y.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, cin, self.out_nc))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_nc,))
+        pad_to = max(8, self.out_nc)
+        kern = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0),
+                                (0, pad_to - self.out_nc)))
+        out = jax.lax.conv_general_dilated(
+            y, kern.astype(y.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out[..., :self.out_nc] + bias
+
+
 class ResnetBlock(nn.Module):
     dim: int
     norm: str = "instance"
@@ -121,8 +147,7 @@ class ResnetGenerator(nn.Module):
                                    use_bias=use_bias, name=f"up{i}")(y)
             y = nn.relu(self._norm(y, f"bn_up{i}"))
         y = jnp.pad(y, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
-        y = nn.Conv(self.output_nc, (7, 7), padding="VALID", use_bias=True,
-                    name="conv_out")(y)
+        y = PaddedOutConv(self.output_nc, name="conv_out")(y)
         return jnp.tanh(y)
 
 

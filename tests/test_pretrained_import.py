@@ -383,3 +383,22 @@ def test_resnet_backbone_import_parity():
         np.testing.assert_allclose(
             np.asarray(g), w.detach().permute(0, 2, 3, 1).numpy(),
             rtol=2e-4, atol=2e-4)
+
+
+def test_cyclegan_checkpoint_keeps_model_prefix(tmp_path):
+    """The generator's own Sequential is named ``model.*`` — a blanket
+    model.-strip (tools/test.py-style) breaks the converter (r3 CLI bug):
+    only a DataParallel ``module.`` wrapper may be stripped."""
+    from tests.test_torch_parity import TorchResnetGenerator
+    from cmda_tpu.utils import torch_import as TI
+    gen = TorchResnetGenerator(ngf=4, n_blocks=1)
+    p = tmp_path / "cg.pth"
+    torch.save(gen.state_dict(), p)
+    sd = TI.strip_prefix(TI.load_torch_file(str(p)), prefixes=("module.",))
+    out = TI.convert_resnet_generator(sd, n_blocks=1, norm="instance")
+    assert "params" in out and "conv_in" in out["params"]
+    # wrapped variant also works
+    wrapped = {f"module.{k}": v for k, v in gen.state_dict().items()}
+    sd2 = TI.strip_prefix(TI.to_numpy(wrapped), prefixes=("module.",))
+    out2 = TI.convert_resnet_generator(sd2, n_blocks=1, norm="instance")
+    assert "params" in out2

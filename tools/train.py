@@ -319,7 +319,12 @@ def init_pretrained_state(trainer, cfg, args):
 
     cyclegan_params = None
     if args.cyclegan:
-        sd = TI.strip_prefix(TI.load_torch_file(args.cyclegan))
+        # the generator's OWN Sequential is named ``model.*``
+        # (cityscapes_ICD_to_dsec_EN.pth keys are model.<i>.weight,
+        # reference cyclegan_model.py:375) — only strip a DataParallel
+        # ``module.`` wrapper, never ``model.``
+        sd = TI.strip_prefix(TI.load_torch_file(args.cyclegan),
+                             prefixes=("module.",))
         cyclegan_params = TI.convert_resnet_generator(sd)["params"]
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed),
                                cyclegan_params=cyclegan_params)
