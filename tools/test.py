@@ -39,6 +39,12 @@ def parse_args():
     p.add_argument("--slide-stride", type=int, nargs=2, default=(341, 341))
     p.add_argument("--submit-to-website", action="store_true")
     p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--backbone", default="",
+                   choices=["", "mit_b0", "mit_b1", "mit_b2", "mit_b3",
+                            "mit_b4", "mit_b5"])
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VAL",
+                   help="dotted config override (matches tools/train.py)")
     return p.parse_args()
 
 
@@ -55,6 +61,10 @@ def main():
     cfg = {"cs2dsec": C.cs2dsec_image_events_b5,
            "cs2dz": C.cs2dz_image_rawisr_b5,
            "tiny": C.tiny_test_config}[args.config]()
+    if args.backbone:
+        cfg = C.replace(cfg, model=C.replace(cfg.model,
+                                             backbone=args.backbone))
+    cfg = C.apply_overrides(cfg, args.overrides)
     trainer = DACSTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
     if args.checkpoint:
