@@ -43,6 +43,10 @@ def parse_args():
     p.add_argument("--cyclegan", default=None,
                    help="frozen cityscapes_ICD_to_dsec_EN.pth generator "
                         "(reference dacs.py:96-103)")
+    p.add_argument("--imnet", default=None,
+                   help="mit_bX.pth for the frozen ImageNet feature-distance "
+                        "encoder (reference dacs.py:234-242; defaults to "
+                        "--pretrained-backbone when fdist is enabled)")
     p.add_argument("--dtype", default=None, choices=[None, "float32", "bfloat16"])
     p.add_argument("--num-workers", type=int, default=None)
     p.add_argument("--multi-host", action="store_true",
@@ -314,6 +318,7 @@ def init_pretrained_state(trainer, cfg, args):
     pretrained/mit_b5.pth, mix_transformer.py:339-357) and the frozen
     CycleGAN day-events generator (dacs.py:96-103)."""
     import jax
+    import jax.numpy as jnp
     from cmda_tpu.models.mit import MIT_VARIANTS
     from cmda_tpu.utils import torch_import as TI
 
@@ -326,10 +331,24 @@ def init_pretrained_state(trainer, cfg, args):
         sd = TI.strip_prefix(TI.load_torch_file(args.cyclegan),
                              prefixes=("module.",))
         cyclegan_params = TI.convert_resnet_generator(sd)["params"]
+    depths = tuple(MIT_VARIANTS[cfg.model.backbone].depths)
+    imnet_params = None
+    imnet_src = args.imnet or (args.pretrained_backbone
+                               if cfg.uda.imnet_feature_dist_lambda > 0
+                               else None)
+    if imnet_src and getattr(trainer, "imnet", None) is not None:
+        # frozen ImageNet encoder for the feature-distance loss: same MiT
+        # weights in a single-backbone EncoderDecoder (reference
+        # dacs.py:234-242 builds an imnet_model segmentor)
+        mit = TI.convert_mit(TI.load_torch_file(imnet_src), depths)
+        h, w = cfg.data.crop_size
+        iv = trainer.imnet.init(jax.random.PRNGKey(1),
+                                jnp.zeros((1, h, w, 3), jnp.float32))
+        imnet_params = TI.merge_pretrained(iv["params"], {"backbone": mit})
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed),
-                               cyclegan_params=cyclegan_params)
+                               cyclegan_params=cyclegan_params,
+                               imnet_params=imnet_params)
     if args.pretrained_backbone:
-        depths = tuple(MIT_VARIANTS[cfg.model.backbone].depths)
         mit = TI.convert_mit(TI.load_torch_file(args.pretrained_backbone),
                              depths)
         targets = {k: mit for k in ("backbone_image", "backbone_events")
