@@ -88,6 +88,34 @@ def fabricate_dsec_with_labels(root: str, n_frames: int = 8,
     return txt, test_txt
 
 
+def fabricate_dark_zurich(root: str, n_images: int = 4,
+                          size=(480, 270)) -> str:
+    """rgb_anon/{train,val}/night + gt/val labelTrainIds (reference
+    dark_zurich_ic.py layout)."""
+    g = np.random.default_rng(2)
+    w, h = size
+    for split in ("train", "val"):
+        img_dir = os.path.join(root, "rgb_anon", split, "night", "seq01")
+        os.makedirs(img_dir, exist_ok=True)
+        for i in range(n_images):
+            name = f"seq01_frame_{i:06d}_rgb_anon.png"
+            Image.fromarray(g.integers(0, 255, (h, w, 3), np.uint8)
+                            .astype(np.uint8)).save(
+                os.path.join(img_dir, name))
+            if split == "val":
+                gt_dir = os.path.join(root, "gt", "val", "night", "seq01")
+                os.makedirs(gt_dir, exist_ok=True)
+                lbl = np.repeat(np.repeat(
+                    g.integers(0, 19, (h // 32 + 1, w // 32 + 1))
+                    .astype(np.uint8), 32, axis=0), 32, axis=1)[:h, :w]
+                # label path rule: rgb_anon->gt twice (dark_zurich.py
+                # _label_path): X_rgb_anon.png -> X_gt_labelTrainIds.png
+                Image.fromarray(lbl).save(os.path.join(
+                    gt_dir,
+                    name.replace("_rgb_anon.png", "_gt_labelTrainIds.png")))
+    return root
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True)
@@ -99,8 +127,9 @@ def main():
                               args.images)
     train_txt, test_txt = fabricate_dsec_with_labels(
         os.path.join(args.root, "dsec"), args.frames, args.events_per_window)
+    dz = fabricate_dark_zurich(os.path.join(args.root, "dark_zurich"))
     print(json.dumps({"cityscapes": cs, "target_txt": train_txt,
-                      "val_txt": test_txt}))
+                      "val_txt": test_txt, "dark_zurich": dz}))
 
 
 if __name__ == "__main__":
