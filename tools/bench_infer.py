@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--height", type=int, default=440)
     ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--slide", action="store_true",
+                    help="also bench slide-inference at the DarkZurich "
+                         "1080x1920 submission geometry "
+                         "(reference encoder_decoder.py:175-218)")
     args = ap.parse_args()
 
     import jax
@@ -81,6 +85,35 @@ def main():
         dt = (time.perf_counter() - t0 - dt1) / args.steps
         report[f"batch{b}_ms"] = round(dt * 1e3, 2)
         report[f"batch{b}_samples_per_s"] = round(b / dt, 2)
+    if args.slide:
+        from cmda_tpu.models.segmentor import slide_inference
+
+        @jax.jit
+        def slide_n(params, bstats, both, n):
+            def crop_fn(x):
+                return trainer.model.apply(
+                    {"params": params, "batch_stats": bstats},
+                    x[..., :3], x[..., 3:], None, mode="default",
+                    output="fusion").astype(jnp.float32)
+
+            def body(_, carry):
+                im, acc = carry
+                logits = slide_inference(crop_fn, im, crop_size=(512, 512),
+                                         stride=(341, 341), num_classes=19)
+                pred = jnp.argmax(logits, axis=-1)
+                im = im + 0.0 * pred[..., None].astype(im.dtype)
+                return im, acc + jnp.sum(pred)
+            _, acc = jax.lax.fori_loop(0, n, body,
+                                       (both, jnp.zeros((), jnp.int32)))
+            return acc
+
+        both = jnp.asarray(g.normal(size=(1, 1080, 1920, 6)), jnp.float32)
+        int(slide_n(state.params, state.batch_stats, both, 1))
+        t0 = time.perf_counter()
+        int(slide_n(state.params, state.batch_stats, both, 4))
+        dt = (time.perf_counter() - t0) / 4
+        report["slide_1080x1920_ms"] = round(dt * 1e3, 1)
+        report["slide_1080x1920_fps"] = round(1.0 / dt, 2)
     print(json.dumps({
         "metric": "fusion_whole_inference",
         "unit": f"MiT-b5 fusion encode_decode, {args.height}x{args.width}, bf16",
