@@ -8,7 +8,6 @@ matches; pretrained runs overwrite these anyway.
 from __future__ import annotations
 
 import math
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ All NHWC. Instance norm = per-sample/channel spatial standardization
 """
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ Same fused-single-step design as DACSTrainer.
 """
 from __future__ import annotations
 
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp

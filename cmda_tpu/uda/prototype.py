@@ -20,7 +20,6 @@ zero loss); queue updates are fixed-K masked ring writes under jit.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
