@@ -45,6 +45,9 @@ class UDAConfig:
     blur: bool = True
     color_jitter_strength: float = 0.2
     color_jitter_probability: float = 0.2
+    # supervised source loss only, no self-training (control/ablation;
+    # the reference's legacy uda='source-only' grids)
+    source_only: bool = False
     # multi-stream loss weights (forward_cfg.loss_weight)
     loss_weight_image: float = 0.5
     loss_weight_events: float = 0.5
@@ -95,6 +98,9 @@ class OptimConfig:
     min_lr: float = 0.0
     max_iters: int = 40000
     grad_clip: float | None = None
+    # AdamW moment storage dtype; 'bfloat16' halves optimizer-state HBM
+    # (~1.6 GB on the b5 flagship) with f32 update arithmetic
+    moment_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -161,20 +167,38 @@ def replace(cfg, **kw):
     return dataclasses.replace(cfg, **kw)
 
 
-def _coerce(value, template):
+def _coerce(value, template, annotation: str = ""):
     """Coerce a string override to the type of the existing field value
     (the typed-dataclass equivalent of mmcv Config's --options merge,
-    reference tools/train.py:57,75-76)."""
+    reference tools/train.py:57,75-76). ``annotation`` is the declared field
+    type (a string under ``from __future__ import annotations``): unions with
+    ``str`` keep the raw string on a failed numeric cast, unions with
+    ``None`` accept 'none'; everything else fails loudly instead of smuggling
+    a str into an int field."""
     if not isinstance(value, str):
         return value
     s = value.strip()
+    if s.lower() in ("none", "null") and (template is None
+                                          or "None" in annotation):
+        return None
     if isinstance(template, bool):
         return s.lower() in ("1", "true", "yes", "on")
     if isinstance(template, (int, float)):
         try:
             return type(template)(s)
         except ValueError:
-            return s   # union-typed field (e.g. random_choice_thres schedule)
+            if isinstance(template, int):
+                try:            # accept 1e4 / 4e4-style ints
+                    f = float(s)
+                    if f == int(f):
+                        return int(f)
+                except ValueError:
+                    pass
+            if "str" in annotation:
+                return s   # union field (e.g. random_choice_thres schedule)
+            raise ValueError(
+                f"cannot coerce {s!r} to {type(template).__name__} "
+                f"(field type {annotation or type(template).__name__})")
     if isinstance(template, IsrParams):
         return IsrParams.from_string(s)
     if isinstance(template, (tuple, list)):
@@ -209,7 +233,14 @@ def set_by_path(cfg, path: str, value):
         raise KeyError(f"no config field {head!r} on {type(cfg).__name__} "
                        f"(path {path!r})")
     cur = getattr(cfg, head)
-    new = set_by_path(cur, rest, value) if rest else _coerce(value, cur)
+    if rest:
+        new = set_by_path(cur, rest, value)
+    else:
+        ann = ""
+        for f in dataclasses.fields(cfg):
+            if f.name == head:
+                ann = f.type if isinstance(f.type, str) else str(f.type)
+        new = _coerce(value, cur, ann)
     return dataclasses.replace(cfg, **{head: new})
 
 

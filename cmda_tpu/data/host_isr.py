@@ -99,15 +99,22 @@ def normalize_image(pil_image) -> np.ndarray:
 
 def open_rgb(path: str):
     """Open an RGB frame as a PIL Image, decoding PNGs via libpng in C++
-    when available (GIL-free; SURVEY §2.9 host decode path). Pixel-identical
-    to PIL's decoder — PNG decode is lossless — so downstream PIL
-    resize/crop semantics are unchanged."""
+    when available (GIL-free; SURVEY §2.9 host decode path).
+
+    The C++ path is used only for plain 8-bit grayscale/truecolor PNGs
+    (IHDR color type 0/2), where libpng's PNG_FORMAT_RGB expansion is
+    pixel-identical to PIL ``convert('RGB')``. Palette, alpha, and 16-bit
+    images fall back to PIL: libpng would alpha-composite / rescale where
+    PIL drops alpha, so they are not interchangeable."""
     from PIL import Image
     from .. import native
     if path.endswith(".png") and native.png_available():
         try:
             with open(path, "rb") as f:
-                return Image.fromarray(native.png_decode(f.read()))
-        except ValueError:
+                data = f.read()
+            # IHDR is the first chunk: bit depth at byte 24, color type at 25
+            if (len(data) > 26 and data[24] == 8 and data[25] in (0, 2)):
+                return Image.fromarray(native.png_decode(data))
+        except (OSError, ValueError):
             pass
     return Image.open(path).convert("RGB")

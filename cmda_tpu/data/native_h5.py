@@ -26,8 +26,17 @@ def read_slice(dset, start: int, stop: int) -> np.ndarray:
     try:
         chunks = dset.chunks
         if (chunks is None or len(dset.shape) != 1
-                or dset.compression != "gzip" or not native.available()):
+                or dset.compression != "gzip" or dset.fletcher32
+                or dset.scaleoffset is not None or not native.available()):
             return dset[start:stop]
+        # the C++ path handles exactly deflate (+optional byte-shuffle);
+        # any other filter in the pipeline (fletcher32 checksum trailers,
+        # nbit, third-party codecs) would be silently treated as data
+        pipeline = dset.id.get_create_plist()
+        H5Z_DEFLATE, H5Z_SHUFFLE = 1, 2
+        for i in range(pipeline.get_nfilters()):
+            if pipeline.get_filter(i)[0] not in (H5Z_DEFLATE, H5Z_SHUFFLE):
+                return dset[start:stop]
     except Exception:
         return dset[start:stop]
     chunk = chunks[0]

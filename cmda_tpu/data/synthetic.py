@@ -81,3 +81,69 @@ class SyntheticTarget:
 
     def __getitem__(self, idx):
         return self.load(idx)
+
+
+def _blob_labels(g, h, w, num_classes, cell=8):
+    """Piecewise-constant 'scene': low-res random classes, nearest-upsampled."""
+    lo = g.integers(0, num_classes, size=(h // cell + 1, w // cell + 1))
+    return np.repeat(np.repeat(lo, cell, 0), cell, 1)[:h, :w].astype(np.int32)
+
+
+def _edge_map(label):
+    """Signed class-boundary map — the shared 'events' modality analogue."""
+    e = np.zeros(label.shape, np.float32)
+    e[:, 1:][label[:, 1:] != label[:, :-1]] = 1.0
+    e[1:, :][label[1:, :] != label[:-1, :]] = -1.0
+    return e
+
+
+class LearnableScenes:
+    """LEARNABLE synthetic UDA pair (the convergence demo, VERDICT r1
+    item 5): scenes are blobby class maps rendered through a fixed
+    class->color palette. The SOURCE domain is bright; the TARGET domain
+    is the same renderer darkened 4x with extra noise (the day->night
+    analogue), so a source-only model degrades on target while the UDA
+    objective (teacher pseudo-labels on the domain-robust edge modality +
+    ClassMix) can adapt. Mirrors the real datasets' output interfaces."""
+
+    def __init__(self, *, domain: str, crop_size=(64, 64), length: int = 200,
+                 num_classes: int = 19, seed: int = 7,
+                 test_mode: bool = False, noise: float = 0.05):
+        self.h, self.w = crop_size[1], crop_size[0]
+        self.domain = domain          # 'source' | 'target'
+        self.length = length
+        self.num_classes = num_classes
+        self.seed = seed
+        self.test_mode = test_mode
+        self.noise = noise
+        gp = np.random.default_rng(12345)   # palette shared across domains
+        self.palette = gp.uniform(0.2, 1.0, size=(num_classes, 3))
+
+    def __len__(self):
+        return self.length
+
+    def load(self, idx, rng=None):
+        g = np.random.default_rng(self.seed * 999983 + idx)
+        label = _blob_labels(g, self.h, self.w, self.num_classes)
+        base = self.palette[label]
+        if self.domain == "target":
+            img = base * 0.25 + g.normal(scale=2 * self.noise,
+                                         size=base.shape)
+        else:
+            img = base + g.normal(scale=self.noise, size=base.shape)
+        img = ((img - 0.5) / 0.5).astype(np.float32)
+        edge = _edge_map(label) + g.normal(
+            scale=self.noise, size=label.shape).astype(np.float32)
+        edge3 = np.clip(edge, -1, 1)[..., None].repeat(3, -1).astype(
+            np.float32)
+        out = {"image": img, }
+        if self.domain == "source":
+            out.update(img_self_res=edge3, img_time_res=edge3, label=label)
+        else:
+            out.update(isr=edge3, events=edge3)
+            if self.test_mode:
+                out["label"] = label
+        return out
+
+    def __getitem__(self, idx):
+        return self.load(idx)

@@ -84,8 +84,12 @@ class StreamBatchNorm(nn.Module):
         xg = xf.reshape((g, -1) + x.shape[1:])          # [g, B/g, ..., C]
         red = tuple(range(1, xg.ndim - 1))
         gm = jnp.mean(xg, axis=red)                     # [g, C]
-        gv = jnp.mean(jnp.square(xg), axis=red) - jnp.square(gm)
         shape = (g,) + (1,) * (xg.ndim - 2) + (c,)
+        # two-pass variance (torch semantics), NOT E[x^2]-E[x]^2: the fast
+        # formula cancels catastrophically on (near-)constant inputs — e.g.
+        # a 1x1 feature upsampled by the SegFormerAdapter neck — going
+        # negative beyond eps and emitting NaN through rsqrt
+        gv = jnp.mean(jnp.square(xg - gm.reshape(shape)), axis=red)
         y = (xg - gm.reshape(shape)) * jax.lax.rsqrt(
             gv.reshape(shape) + self.epsilon) * scale + bias
         y = y.reshape(x.shape).astype(self.dtype)

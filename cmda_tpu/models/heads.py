@@ -365,3 +365,26 @@ class DLV2Head(nn.Module):
                 x.astype(jnp.float32))
             out = y if out is None else out + y
         return out
+
+
+class SegFormerAdapter(nn.Module):
+    """The one neck the reference exp grid uses (reference
+    mmseg/models/necks/segformer_adapter.py, wired by 'sfa_' architectures,
+    experiments.py:134-135): upsample the selected stages by their scale
+    factors and concat them into the LAST feature slot; earlier slots pass
+    through (so e.g. dlv3p's c1 path still sees the stride-4 feature).
+    Parameter-free."""
+    out_layers: Sequence[int] = (3,)
+    scales: Sequence[int] = (4,)
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        cat = []
+        for i, s in zip(self.out_layers, self.scales):
+            x = feats[i]
+            if s != 1:
+                x = resize_bilinear(x, (x.shape[1] * s, x.shape[2] * s))
+            cat.append(x)
+        out = list(feats)
+        out[-1] = jnp.concatenate(cat, axis=-1)
+        return out

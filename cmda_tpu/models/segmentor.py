@@ -107,15 +107,19 @@ class EventsEncoderDecoder(nn.Module):
 
 
 class GenericEncoderDecoder(nn.Module):
-    """Any (backbone, head) pair -> logits at input resolution.
+    """Any (backbone[, neck], head) pipeline -> logits at input resolution.
 
     Powers the legacy architecture grid (reference experiments.py:398-427:
-    ResNet/ResNeXt/ResNeSt x DLV2/DLV3+/DA/ISA/SegFormer/UPer combos)."""
+    ResNet/ResNeXt/ResNeSt x DLV2/DLV3+/DA/ISA/SegFormer/UPer combos;
+    'sfa_' combos insert the SegFormerAdapter neck, experiments.py:134)."""
     backbone: nn.Module
     head: nn.Module
+    neck: nn.Module | None = None
 
     def __call__(self, img, train: bool = False):
         feats = self.backbone(img, train)
+        if self.neck is not None:
+            feats = self.neck(feats, train)
         logits = self.head(feats, train)
         return resize_bilinear(logits, img.shape[1:3])
 
@@ -250,12 +254,17 @@ class FusionEncoderDecoder(nn.Module):
 
 
 def slide_inference(apply_fn, img, *, crop_size: tuple[int, int],
-                    stride: tuple[int, int], num_classes: int):
+                    stride: tuple[int, int], num_classes: int,
+                    crop_chunk: int | None = None):
     """Sliding-window inference compiled as one XLA program.
 
     ``apply_fn(crop) -> logits`` at crop resolution.  Static crop grid
-    (reference encoder_decoder.py:851-894): crops are batched through one
-    vmapped forward, then scatter-added and count-normalized.
+    (reference encoder_decoder.py:175-218): the G grid crops are folded
+    into the batch dimension and run through ONE forward of [G*B] crops
+    (the eval head is batched), then scatter-added and count-normalized.
+    ``crop_chunk`` bounds crops-per-forward when [G*B] would blow HBM:
+    the grid is processed in ceil(G/crop_chunk) forwards (still a single
+    XLA program — the chunk loop is unrolled at trace time).
     """
     b, h, w, c = img.shape
     h_crop, w_crop = crop_size
@@ -270,12 +279,23 @@ def slide_inference(apply_fn, img, *, crop_size: tuple[int, int],
             y1 = min(hi * h_stride, h - h_crop)
             x1 = min(wi * w_stride, w - w_crop)
             offsets.append((y1, x1))
+    g_total = len(offsets)
     crops = jnp.stack([
         jax.lax.dynamic_slice(img, (0, y1, x1, 0), (b, h_crop, w_crop, c))
-        for (y1, x1) in offsets])
-    logits = jax.lax.map(apply_fn, crops)  # [G, B, hc, wc, K]
+        for (y1, x1) in offsets])               # [G, B, hc, wc, C]
+    flat = crops.reshape(g_total * b, h_crop, w_crop, c)
+    chunk = g_total if not crop_chunk else min(crop_chunk, g_total)
+    parts = [apply_fn(flat[s * b: (s + g) * b])
+             for s, g in _chunk_spans(g_total, chunk)]
+    logits = jnp.concatenate(parts, axis=0).reshape(
+        g_total, b, h_crop, w_crop, num_classes)
     for g, (y1, x1) in enumerate(offsets):
         pad = [(0, 0), (y1, h - y1 - h_crop), (x1, w - x1 - w_crop), (0, 0)]
         preds = preds + jnp.pad(logits[g].astype(jnp.float32), pad)
         count = count + jnp.pad(jnp.ones((b, h_crop, w_crop, 1), jnp.float32), pad)
     return preds / count
+
+
+def _chunk_spans(total: int, chunk: int):
+    """(start, length) spans covering ``total`` in steps of ``chunk``."""
+    return [(s, min(chunk, total - s)) for s in range(0, total, chunk)]

@@ -85,13 +85,33 @@ def load_checkpoint(state: DACSTrainState, path: str) -> DACSTrainState:
     return state.replace(**restored)
 
 
+def allreduce_histograms(totals: list) -> list:
+    """Sum per-host confusion histograms across processes.
+
+    The multi-process evaluation reduction (the reference's
+    collect_results_cpu + multi_gpu_test, mmseg/apis/test.py:216-273,
+    and DistEvalHook, eval_hooks.py:68-122): each host evaluates its file
+    shard, then the 4x[num_classes] intersect/union histograms are
+    all-gathered and summed so every host reports the exact global mIoU.
+    A no-op single-process. Safe even if hosts evaluated identical (not
+    sharded) datasets: summing identical histograms scales intersect and
+    union equally, leaving every IoU unchanged."""
+    if jax.process_count() <= 1:
+        return totals
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(np.stack(totals))
+    summed = np.asarray(gathered).sum(axis=0)
+    return [summed[k] for k in range(len(totals))]
+
+
 def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
                     output: str = "fusion", use_teacher: bool = False,
                     num_classes: int = 19, max_samples: int | None = None,
                     batch_size: int = 1, show_dir: str | None = None,
                     inference: str = "whole",
                     slide_crop: tuple[int, int] = (512, 512),
-                    slide_stride: tuple[int, int] = (341, 341)) -> dict:
+                    slide_stride: tuple[int, int] = (341, 341),
+                    slide_crop_chunk: int | None = None) -> dict:
     """Whole-image or sliding-window inference over a test dataset -> mIoU.
 
     Mirrors single_gpu_test_events + dataset.evaluate (reference
@@ -99,7 +119,9 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
     stream logits at input resolution, argmax, 19-class histograms; the
     18-class summary applies the x19/18 rule. ``inference='slide'`` compiles
     the reference's crop-accumulate loop (encoder_decoder.py:175-218) as one
-    XLA program over both modalities."""
+    XLA program over both modalities. Under multi-process runs the per-host
+    histograms are all-reduced before scoring (allreduce_histograms), so a
+    host-sharded val set yields the exact global mIoU on every host."""
     params = state.ema_params if use_teacher else state.params
     variables = {"params": params, "batch_stats": state.batch_stats}
     model = trainer.model
@@ -124,7 +146,8 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
 
             logits = slide_inference(crop_fn, both, crop_size=slide_crop,
                                      stride=slide_stride,
-                                     num_classes=num_classes)
+                                     num_classes=num_classes,
+                                     crop_chunk=slide_crop_chunk)
             return jnp.argmax(logits, axis=-1)
         return jnp.argmax(logits_fn(image, events), axis=-1)
 
@@ -153,11 +176,15 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
                 totals[k] += res[k]
             if show_dir is not None:
                 from ..utils.visualization import show_result
+                # prefix by process index so per-host shards never collide
+                tag = (f"p{jax.process_index()}_"
+                       if jax.process_count() > 1 else "")
                 show_result(
                     s["image"], pred[j], gt=s.get("label"),
                     events=s.get("events", s.get("isr")),
                     out_path=os.path.join(show_dir,
-                                          f"{start + j:06d}.png"))
+                                          f"{tag}{start + j:06d}.png"))
+    totals = allreduce_histograms(totals)
     ret = eval_metrics(*totals)
     summary = summarize_miou(ret, valid_classes=18)
     summary["per_class_iou"] = {

@@ -37,6 +37,54 @@ def poly_warmup_schedule(base_lr: float, max_iters: int, warmup_iters: int = 150
     return schedule
 
 
+def scale_by_adam_lp(b1: float, b2: float, eps: float = 1e-8,
+                     moment_dtype=None):
+    """optax.scale_by_adam with LOW-PRECISION moment storage.
+
+    Both moments are stored in ``moment_dtype`` (e.g. bfloat16) and
+    promoted to f32 for the update arithmetic each step. For the ~210M
+    param flagship this returns ~1.6 GB of HBM vs f32 moments (the
+    VERDICT r1 item 4 buy-back lever); numerics validated by the
+    loss-overlay test (tests/test_train_loop.py) and the bf16-vs-f32
+    bench experiment logged in docs/PERF.md."""
+    import optax
+
+    def init_fn(params):
+        dt = moment_dtype
+        mu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=dt or p.dtype), params)
+        nu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=dt or p.dtype), params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        b1c = 1.0 - jnp.asarray(b1, jnp.float32) ** count
+        b2c = 1.0 - jnp.asarray(b2, jnp.float32) ** count
+
+        def mu_next(g, mu):
+            return b1 * mu.astype(jnp.float32) + (1 - b1) * g.astype(
+                jnp.float32)
+
+        def nu_next(g, nu):
+            g = g.astype(jnp.float32)
+            return b2 * nu.astype(jnp.float32) + (1 - b2) * g * g
+
+        muf = jax.tree.map(mu_next, updates, state.mu)
+        nuf = jax.tree.map(nu_next, updates, state.nu)
+        out = jax.tree.map(
+            lambda m, v: (m / b1c) / (jnp.sqrt(v / b2c) + eps), muf, nuf)
+        new_state = optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree.map(lambda m, o: m.astype(o.dtype), muf, state.mu),
+            nu=jax.tree.map(lambda v, o: v.astype(o.dtype), nuf, state.nu))
+        return out, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _is_norm_param(path) -> bool:
     names = [getattr(p, "key", str(p)) for p in path]
     joined = "/".join(str(n) for n in names)
@@ -64,7 +112,16 @@ def make_optimizer(params, cfg):
     decay_mask = jax.tree_util.tree_map_with_path(
         lambda path, _: not _is_norm_param(path), params)
 
+    moment_dtype = getattr(cfg, "moment_dtype", "float32")
+
     def adamw(sched):
+        if moment_dtype and moment_dtype != "float32":
+            # low-precision moments (HBM buy-back, see scale_by_adam_lp)
+            return optax.chain(
+                scale_by_adam_lp(cfg.betas[0], cfg.betas[1],
+                                 moment_dtype=jnp.dtype(moment_dtype)),
+                optax.add_decayed_weights(cfg.weight_decay, decay_mask),
+                optax.scale_by_learning_rate(sched))
         return optax.adamw(learning_rate=sched, b1=cfg.betas[0],
                            b2=cfg.betas[1], weight_decay=cfg.weight_decay,
                            mask=decay_mask)

@@ -598,19 +598,28 @@ class DACSTrainer:
 
         (loss_src, (bstats1, logs_src)), grads_src = jax.value_and_grad(
             src_loss_fn, has_aux=True)(state.params, state.batch_stats)
-        # Barrier: tie the mixed-step inputs to the finished source
-        # gradients so XLA cannot interleave the two backward passes — the
-        # source activations are dead before the mixed forward starts.
-        alt_in, alt_mode = mix_alt if mix_alt is not None else (None, None)
-        grads_src, mix_in, alt_in, mixed_lbl, mixed_weight, bstats1 = \
-            jax.lax.optimization_barrier(
-                (grads_src, mix_in, alt_in, mixed_lbl, mixed_weight, bstats1))
-        mix_alt = (alt_in, alt_mode) if alt_mode is not None else None
-        (loss_mix, (new_bstats, logs_mix)), grads_mix = jax.value_and_grad(
-            mix_loss_fn, has_aux=True)(state.params, bstats1)
-        loss = loss_src + loss_mix
-        logs = {**logs_src, **logs_mix, "loss": loss}
-        grads = jax.tree.map(jnp.add, grads_src, grads_mix)
+        if u.source_only:
+            # ablation/control mode: supervised source loss only, no
+            # self-training (the convergence-demo baseline; the reference's
+            # legacy uda='source-only' grids, experiments.py:229-233)
+            loss = loss_src
+            logs = {**logs_src, "loss": loss}
+            grads, new_bstats = grads_src, bstats1
+        else:
+            # Barrier: tie the mixed-step inputs to the finished source
+            # gradients so XLA cannot interleave the two backward passes —
+            # the source activations are dead before the mixed forward starts.
+            alt_in, alt_mode = mix_alt if mix_alt is not None else (None, None)
+            grads_src, mix_in, alt_in, mixed_lbl, mixed_weight, bstats1 = \
+                jax.lax.optimization_barrier(
+                    (grads_src, mix_in, alt_in, mixed_lbl, mixed_weight,
+                     bstats1))
+            mix_alt = (alt_in, alt_mode) if alt_mode is not None else None
+            (loss_mix, (new_bstats, logs_mix)), grads_mix = jax.value_and_grad(
+                mix_loss_fn, has_aux=True)(state.params, bstats1)
+            loss = loss_src + loss_mix
+            logs = {**logs_src, **logs_mix, "loss": loss}
+            grads = jax.tree.map(jnp.add, grads_src, grads_mix)
         updates, new_opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
         new_params = jax.tree.map(lambda p, up: p + up, state.params, updates)

@@ -222,13 +222,24 @@ def convert_daformer_decoder(sd: dict, prefix: str, stream: str = "image"):
 
 
 def strip_prefix(sd: dict, prefixes=("module.", "model.")) -> dict:
-    """Reference tools/test.py:165-169 prefix revision."""
+    """Reference tools/test.py:165-169 prefix revision.
+
+    Prefixes strip repeatedly: the real training artifact is saved from
+    MMDataParallel(DACS), so student keys are DOUBLE-prefixed
+    ``module.model.backbone_image...`` (mmcv applies its revise_keys list
+    sequentially). ``ema_model.*`` / ``imnet_model.*`` / ``cyclegan_*``
+    siblings match neither prefix and fall through untouched (ignored by
+    the per-submodule subdict() extraction)."""
     out = {}
     for k, v in sd.items():
-        for pre in prefixes:
-            if k.startswith(pre):
-                k = k[len(pre):]
-                break
+        changed = True
+        while changed:
+            changed = False
+            for pre in prefixes:
+                if k.startswith(pre):
+                    k = k[len(pre):]
+                    changed = True
+                    break
         out[k] = v
     return out
 

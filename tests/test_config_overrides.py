@@ -103,3 +103,40 @@ def test_cityscapes_gi_modes(tmp_path):
     with pytest.raises(AssertionError):
         CityscapesICDataset(str(tmp_path), isr_params=C.IsrParams(),
                             return_gi_or_ic="bogus")
+
+
+def test_coerce_strictness():
+    """Failed scalar casts raise instead of smuggling a str into an int
+    field; scientific-notation ints are accepted; tuple-typed optional
+    fields can be reset to None (ADVICE r1)."""
+    cfg = C.cs2dsec_image_events_b5()
+    got = C.set_by_path(cfg, "optim.max_iters", "1e4")
+    assert got.optim.max_iters == 10000 and isinstance(
+        got.optim.max_iters, int)
+    with pytest.raises(ValueError):
+        C.set_by_path(cfg, "optim.max_iters", "bogus")
+    with pytest.raises(ValueError):
+        C.set_by_path(cfg, "optim.lr", "fast")
+    # union-with-str fields keep the schedule string
+    got = C.set_by_path(cfg, "uda.random_choice_thres", "0.5-1.0")
+    assert got.uda.random_choice_thres == "0.5-1.0"
+    # optional tuple field -> None
+    got = C.set_by_path(cfg, "data.events_clip_range", "0.7,0.7")
+    assert got.data.events_clip_range == (0.7, 0.7)
+    got = C.set_by_path(got, "data.events_clip_range", "none")
+    assert got.data.events_clip_range is None
+
+
+def test_print_config_resolves_flags(tmp_path):
+    """tools/print_config.py (reference tools/print_config.py): the full
+    train.py flag surface resolves into a JSON dataclass dump."""
+    import json
+    from tools.print_config import resolved_config_dict
+
+    d, _ = resolved_config_dict([
+        "--config", "cs2dsec", "--events_bins_5_avg_1",
+        "--set", "optim.lr=1e-4", "--set", "uda.pseudo_threshold=0.9"])
+    assert d["data"]["events_bins"] == 5
+    assert d["optim"]["lr"] == pytest.approx(1e-4)
+    assert d["uda"]["pseudo_threshold"] == pytest.approx(0.9)
+    assert d["model"]["backbone"] == "mit_b5"

@@ -66,3 +66,33 @@ def test_gradient_penalty_linear_critic():
     np.testing.assert_allclose(float(gp), 10.0 * (wn - 1.0) ** 2, rtol=1e-5)
     assert float(gradient_penalty(critic, jax.random.PRNGKey(0), real, fake,
                                   lambda_gp=0.0)) == 0.0
+
+def test_scale_by_adam_lp_matches_optax():
+    """scale_by_adam_lp at f32 must reproduce optax.scale_by_adam exactly;
+    bf16 moment storage must track it closely (HBM buy-back lever)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from cmda_tpu.train.optim import scale_by_adam_lp
+
+    params = {"w": jnp.linspace(-1, 1, 32).reshape(4, 8),
+              "b": jnp.ones((8,))}
+    ref_tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    f32_tx = scale_by_adam_lp(0.9, 0.999, moment_dtype=jnp.float32)
+    bf_tx = scale_by_adam_lp(0.9, 0.999, moment_dtype=jnp.bfloat16)
+    states = [ref_tx.init(params), f32_tx.init(params), bf_tx.init(params)]
+    assert jax.tree.leaves(states[2].mu)[0].dtype == jnp.bfloat16
+
+    g = jax.random.normal(jax.random.PRNGKey(0), (4, 8))
+    for step in range(5):
+        grads = {"w": g * (step + 1) * 0.1, "b": jnp.full((8,), 0.01 * step)}
+        out = []
+        for i, tx in enumerate((ref_tx, f32_tx, bf_tx)):
+            u, states[i] = tx.update(grads, states[i])
+            out.append(u)
+        # optax orders the bias-correction arithmetic slightly
+        # differently; 1e-4 on O(1) updates is float32 round-off level
+        np.testing.assert_allclose(np.asarray(out[1]["w"]),
+                                   np.asarray(out[0]["w"]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out[2]["w"]),
+                                   np.asarray(out[0]["w"]), atol=0.05)

@@ -128,8 +128,14 @@ def test_encoder_decoder_and_slide():
     def crop_fn(crop):
         return model.apply(variables, crop)
 
-    full = jnp.zeros((1, 96, 96, 3))
+    full = jax.random.normal(jax.random.PRNGKey(1), (1, 96, 96, 3))
     pred = slide_inference(crop_fn, full, crop_size=(64, 64), stride=(32, 32),
                            num_classes=19)
     assert pred.shape == (1, 96, 96, 19)
     assert bool(jnp.all(jnp.isfinite(pred)))
+    # HBM-bounded chunking (crop_chunk) is numerically identical to the
+    # single [G*B] forward (eval BN uses running stats, so batch
+    # composition cannot change values)
+    chunked = slide_inference(crop_fn, full, crop_size=(64, 64),
+                              stride=(32, 32), num_classes=19, crop_chunk=2)
+    assert bool(jnp.allclose(pred, chunked, atol=1e-5))

@@ -8,6 +8,8 @@ state_dict must load structurally into a DACSTrainer state.
 This is the BASELINE config-1 harness (reference tools/test.py:165-169 +
 encoder_decoder.py:175-218) runnable without the real .pth files.
 """
+import json
+
 import numpy as np
 import pytest
 import torch
@@ -402,3 +404,96 @@ def test_cyclegan_checkpoint_keeps_model_prefix(tmp_path):
     sd2 = TI.strip_prefix(TI.to_numpy(wrapped), prefixes=("module.",))
     out2 = TI.convert_resnet_generator(sd2, n_blocks=1, norm="instance")
     assert "params" in out2
+
+
+# ---------------------------------------------------------------------------
+# b5-shaped reference-artifact rehearsal (VERDICT r1 item 7)
+# ---------------------------------------------------------------------------
+
+def _dump(module, prefix, sd):
+    for k, v in module.state_dict().items():
+        sd[f"{prefix}{k}"] = v
+
+
+def test_b5_reference_checkpoint_rehearsal(tmp_path, monkeypatch, capsys):
+    """Synthesize the FULL reference iter_40000.pth layout — b5 dims,
+    MMDataParallel double prefix (module.model.*), ema_model.* /
+    imnet_model.* / cyclegan_itrd2en.* siblings, fusion + fusion_isr
+    modules, shared-decoder head aliases — and drive the exact code path
+    that touches the real artifact: tools/test.py --torch-checkpoint
+    end-to-end (reference tools/test.py:165-169, function.py:29-38).
+
+    Asserts: structural load at b5 scale, STUDENT (not teacher) weights
+    land in params, alias/sibling keys are ignored, and fusion-stream
+    evaluation runs."""
+    import sys
+    from tests.test_torch_parity import TorchSRABlock
+    from cmda_tpu.utils import torch_import as TI
+
+    B5_DIMS, B5_DEPTHS = (64, 128, 320, 512), (3, 6, 40, 3)
+    torch.manual_seed(0)
+    sd = {}
+    mit_img = TorchMiT(dims=B5_DIMS, depths=B5_DEPTHS)
+    _dump(mit_img, "module.model.backbone_image.", sd)
+    _dump(TorchMiT(dims=B5_DIMS, depths=B5_DEPTHS),
+          "module.model.backbone_events.", sd)
+    for i in range(4):   # AttentionAvgFusion: [2i]=image, [2i+1]=events
+        for j in range(2):
+            _dump(TorchSRABlock(B5_DIMS[i], 1, SRS[i]),
+                  f"module.model.fusion_module.basic_block.{2 * i + j}.", sd)
+    for i in range(4):   # AttentionFusion (ISR): Block(2C) + Mlp(2C->C)
+        c = B5_DIMS[i]
+        _dump(TorchSRABlock(2 * c, 1, SRS[i]),
+              f"module.model.fusion_isr_module.basic_block.{i}.", sd)
+        mlp = nn.Module()
+        mlp.fc1 = nn.Linear(2 * c, c)
+        mlp.dwconv = nn.Module()
+        mlp.dwconv.dwconv = nn.Conv2d(c, c, 3, 1, 1, groups=c)
+        mlp.fc2 = nn.Linear(c, c)
+        _dump(mlp, f"module.model.fusion_isr_module.linear_block.{i}.", sd)
+    head = TorchDAFormerHead(in_channels=B5_DIMS, embed_dim=256,
+                             channels=256)
+    for k, v in head.state_dict().items():
+        k2 = k.replace("embed_layers.", "embed_layers_image.").replace(
+            "fuse_layer.", "fuse_layer_image.")
+        sd[f"module.model.decode_head.{k2}"] = v
+        if k2 != k or k.startswith("conv_seg"):
+            # share_decoder='full' ties events/fusion decoders to the image
+            # decoder (reference daformer_head.py:251-258) — the checkpoint
+            # carries the tied params under every alias name
+            alias = k.replace("embed_layers.", "embed_layers_events.").replace(
+                "fuse_layer.", "fuse_layer_events.")
+            sd[f"module.model.decode_head.{alias}"] = v
+    # teacher siblings: full copy, ALL-ZERO values — if the loader ever
+    # read teacher keys into student params the probe below would be zero
+    for k in [k for k in sd if k.startswith("module.model.")]:
+        sd["module.ema_model." + k[len("module.model."):]] = \
+            torch.zeros_like(sd[k])
+    # frozen-net siblings (present in the real artifact, must be ignored)
+    sd["module.imnet_model.backbone.conv1.weight"] = torch.zeros(8, 3, 3, 3)
+    sd["module.cyclegan_itrd2en.model.1.weight"] = torch.zeros(8, 1, 7, 7)
+
+    path = tmp_path / "iter_40000.pth"
+    torch.save({"meta": {"CLASSES": ("road",), "mmseg_version": "0.16"},
+                "state_dict": sd, "optimizer": {}}, path)
+
+    # -- the conversion itself: student-vs-teacher separation ----------
+    conv = TI.convert_fusion_checkpoint(
+        TI.load_torch_file(str(path)), depths=B5_DEPTHS,
+        fusion="attention_avg", fusion_isr="attention")
+    got = conv["params"]["backbone_image"]["patch_embed1"]["proj"]["kernel"]
+    want = mit_img.state_dict()["patch_embed1.proj.weight"].numpy()
+    np.testing.assert_allclose(got, want.transpose(2, 3, 1, 0), atol=1e-6)
+    assert np.abs(got).sum() > 0          # i.e. NOT the zeroed teacher
+    assert "fusion_isr_module" in conv["params"]
+
+    # -- end-to-end: the real artifact circuit through tools/test.py ---
+    monkeypatch.setattr(sys, "argv", [
+        "test.py", "--config", "cs2dsec", "--synthetic",
+        "--torch-checkpoint", str(path), "--max-samples", "2",
+        "--set", "data.crop_size=128,128"])
+    from tools.test import main
+    main()
+    out = capsys.readouterr().out
+    summary = json.loads(out[out.index("{"):])
+    assert "mIoU" in summary and np.isfinite(summary["mIoU"])

@@ -87,3 +87,82 @@ def test_plot_curve_writes_png(fake_log, tmp_path):
     out = plot_curve([fake_log], ["loss", "mIoU"],
                      out=str(tmp_path / "c.png"))
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_submission_export_tree(tmp_path):
+    """Reference-exact DarkZurich server layout (reference
+    tools/test.py:198-219): labelTrainIds/ + labelTrainIds_invalid/ (a
+    copy) + confidence/ (uint16 all-65535), each 1920x1080, original
+    rgb_anon basenames."""
+    from types import SimpleNamespace
+    import jax
+    from PIL import Image
+    from cmda_tpu import config as C
+    from cmda_tpu.data.dark_zurich import DarkZurichDataset
+    from cmda_tpu.uda.dacs import DACSTrainer
+    from tools.make_fake_corpus import fabricate_dark_zurich
+    from tools.test import export_submission
+
+    root = fabricate_dark_zurich(str(tmp_path / "dz"), n_images=3,
+                                 size=(128, 96))
+    cfg = C.tiny_test_config(
+        model=C.replace(C.tiny_test_config().model,
+                        train_type="cs2dz_image+raw-isr"))
+    trainer = DACSTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    dataset = DarkZurichDataset(root, split="test",
+                                image_resize_size=(128, 96),
+                                isr_params=C.IsrParams(),
+                                outputs=("image", "isr"))
+    out = tmp_path / "submit"
+    for output_type in ("image", "fusion"):
+        args = SimpleNamespace(show_dir=str(out / output_type),
+                               use_teacher=False, max_samples=None,
+                               output_type=output_type)
+        export_submission(trainer, state, dataset, args, cfg, batch_size=2)
+        for sub in ("labelTrainIds", "labelTrainIds_invalid", "confidence"):
+            d = out / output_type / sub
+            names = sorted(os.listdir(d))
+            assert len(names) == 3 and all(
+                n.endswith("_rgb_anon.png") for n in names)
+            im = Image.open(d / names[0])
+            assert im.size == (1920, 1080)
+            arr = np.asarray(im)
+            if sub == "confidence":
+                assert arr.dtype == np.uint16 and (arr == 65535).all()
+            else:
+                assert arr.dtype == np.uint8 and arr.max() < 19
+        a = np.asarray(Image.open(
+            out / output_type / "labelTrainIds" / names[1]))
+        b = np.asarray(Image.open(
+            out / output_type / "labelTrainIds_invalid" / names[1]))
+        assert (a == b).all()
+    # image-only vs fusion must exercise different streams (different jits)
+
+
+def test_single_image_inference_api(tmp_path):
+    """init_segmentor + inference_segmentor on one PNG (reference
+    mmseg/apis/inference.py): on-the-fly ISR for image-only input,
+    non-/32 sizes padded and cropped back, panel written."""
+    from PIL import Image
+    from cmda_tpu.apis import init_segmentor, inference_segmentor
+
+    g = np.random.default_rng(0)
+    img_path = tmp_path / "night.png"
+    Image.fromarray(g.integers(0, 255, (90, 130, 3)).astype(np.uint8)).save(
+        img_path)
+
+    seg = init_segmentor("tiny", overrides=[
+        "model.train_type=cs2dz_image+raw-isr"])
+    # cs2dz default stream is 'image' (reference encoder_decoder.py:914-918)
+    assert seg.output == "image"
+    seg2 = init_segmentor("tiny", overrides=[
+        "model.train_type=cs2dz_image+raw-isr"], output="fusion")
+    panel = tmp_path / "panel.png"
+    pred = inference_segmentor(seg2, str(img_path), out_file=str(panel))
+    assert pred.shape == (90, 130) and pred.dtype == np.int32
+    assert 0 <= pred.min() and pred.max() < 19
+    assert panel.exists()
+    # image-only stream needs no second modality
+    pred_img = inference_segmentor(seg2, str(img_path), second=None)
+    assert pred_img.shape == (90, 130)

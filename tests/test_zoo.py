@@ -103,3 +103,34 @@ def test_bce_and_ohem():
     w = ohem_weights(logits, labels, thresh=0.7, min_kept=50)
     assert w.shape == (2, 16, 16)
     assert float(jnp.sum(w[0])) >= 50  # at least min_kept selected
+
+
+def test_segformer_adapter_neck():
+    """SegFormerAdapter (reference necks/segformer_adapter.py): stage-3
+    upsampled 4x replaces the last feature; earlier slots pass through;
+    parameter-free; and the sfa_ grid combo trains through it."""
+    from cmda_tpu.models.heads import SegFormerAdapter
+
+    neck = SegFormerAdapter()
+    feats = [jnp.ones((1, 16 // (2 ** i), 16 // (2 ** i), 8 * (i + 1)))
+             for i in range(4)]
+    variables = neck.init(jax.random.PRNGKey(0), feats)
+    assert not variables.get("params")  # parameter-free
+    out = neck.apply(variables, feats)
+    assert out[-1].shape == (1, 8, 8, 32)   # 2x2 stage-3 upsampled 4x
+    assert out[0] is feats[0] and out[1] is feats[1]
+
+    # multi-layer variant: concat of two upsampled stages
+    neck2 = SegFormerAdapter(out_layers=(2, 3), scales=(2, 4))
+    out2 = neck2.apply({}, feats)
+    assert out2[-1].shape == (1, 8, 8, 24 + 32)
+
+    # the grid entry end-to-end (2 supervised iterations)
+    from tools.run_experiments import (legacy_architecture_grid,
+                                       supervised_smoke)
+    name, backbone, head, adapter = next(
+        c for c in legacy_architecture_grid() if c[0].startswith("sfa_"))
+    assert adapter is not None
+    loss = supervised_smoke(name, backbone, head, iters=2, hw=32,
+                            neck=adapter)
+    assert np.isfinite(loss)

@@ -94,7 +94,7 @@ def fabricate_dark_zurich(root: str, n_images: int = 4,
     dark_zurich_ic.py layout)."""
     g = np.random.default_rng(2)
     w, h = size
-    for split in ("train", "val"):
+    for split in ("train", "val", "test"):
         img_dir = os.path.join(root, "rgb_anon", split, "night", "seq01")
         os.makedirs(img_dir, exist_ok=True)
         for i in range(n_images):

@@ -40,7 +40,7 @@ def architecture_grid():
                                     in_channels=(32, 64, 160, 256) if backbone == "mit_b0"
                                     else (64, 128, 320, 512),
                                     embed_dim=64, channels=64)))))
-    return combos
+    return [c if len(c) == 4 else c + (None,) for c in combos]
 
 
 def legacy_architecture_grid():
@@ -53,7 +53,7 @@ def legacy_architecture_grid():
     from cmda_tpu.models.mit import MixVisionTransformer, MIT_VARIANTS
     from cmda_tpu.models.heads import (
         HeadConfig, SegFormerHead, ASPPHead, DAHead, ISAHead, DLV2Head,
-        UPerHead)
+        UPerHead, SegFormerAdapter)
     from cmda_tpu.models.daformer import DAFormerHead, DAFormerHeadConfig
 
     rcfg = HeadConfig(in_channels=(256, 512, 1024, 2048), channels=64)
@@ -89,8 +89,11 @@ def legacy_architecture_grid():
         ("dlv2red_x101-32", resnet("resnext101_d8"), DLV2Head(rcfg)),
         ("segformer_mitb4", mit(), SegFormerHead(mit_hc)),
         ("segformer_mitb3", mit(), SegFormerHead(mit_hc)),
+        # 'sfa_' wires the SegFormerAdapter neck (experiments.py:134-135):
+        # stage-3 upsampled 4x replaces the last feature before the head
         ("sfa_dlv3p_nodbn_mitb5-del", mit(),
-         ASPPHead(mit_hc, dilations=(1, 12, 24), sep=True, c1_channels=48)),
+         ASPPHead(mit_hc, dilations=(1, 12, 24), sep=True, c1_channels=48),
+         SegFormerAdapter()),
         ("segformer_r101v1c", resnet("resnet101_d8"), SegFormerHead(rcfg)),
         ("daformer_conv1_mitb5", mit(), daformer("conv")),
         ("daformer_isa_mitb5", mit(), daformer("isa")),
@@ -101,10 +104,10 @@ def legacy_architecture_grid():
         ("upernet_mitb5", mit(), UPerHead(mit_hc)),
         ("upernet_ch256_mitb5", mit(), UPerHead(mit_hc, pool_scales=(1, 2))),
     ]
-    return combos
+    return [c if len(c) == 4 else c + (None,) for c in combos]
 
 
-def supervised_smoke(name, backbone, head, iters=2, hw=48):
+def supervised_smoke(name, backbone, head, iters=2, hw=48, neck=None):
     """2-iteration supervised train smoke (the reference exp-100 runs each
     architecture for iters=2 with uda='target-only')."""
     import jax
@@ -114,7 +117,7 @@ def supervised_smoke(name, backbone, head, iters=2, hw=48):
     from cmda_tpu.models.segmentor import GenericEncoderDecoder
     from cmda_tpu.ops.losses import weighted_cross_entropy
 
-    model = GenericEncoderDecoder(backbone, head)
+    model = GenericEncoderDecoder(backbone, head, neck=neck)
     g = np.random.default_rng(0)
     img = jnp.asarray(g.normal(size=(1, hw, hw, 3)).astype(np.float32))
     lbl = jnp.asarray(g.integers(0, 19, size=(1, hw, hw)).astype(np.int32))
@@ -324,9 +327,10 @@ def main():
                 print(f"[FAIL] {name}: {e}", flush=True)
                 traceback.print_exc()
         # reference exp-100 architecture table (supervised smokes)
-        for name, backbone, head in legacy_architecture_grid():
+        for name, backbone, head, neck in legacy_architecture_grid():
             try:
-                loss = supervised_smoke(name, backbone, head, args.iters)
+                loss = supervised_smoke(name, backbone, head, args.iters,
+                                        neck=neck)
                 results[name] = {"ok": True, "loss": loss}
                 print(f"[OK]   {name}: loss={loss:.3f}", flush=True)
             except Exception as e:

@@ -27,8 +27,13 @@ def parse_args():
     p.add_argument("--target-txt", default=None)
     p.add_argument("--target-root", default=None)
     p.add_argument("--synthetic", action="store_true")
-    p.add_argument("--output-type", default="fusion",
-                   choices=["fusion", "image", "events", "isr"])
+    p.add_argument("--output-type", default=None,
+                   choices=["fusion", "image", "events", "isr"],
+                   help="evaluation defaults to 'fusion'; website submission "
+                        "for cs2dz defaults to 'image' (the reference "
+                        "my_test.py test_output_type; "
+                        "encoder_decoder.py:914-918 forces the image stream "
+                        "unless --image_isr/fusion is asked)")
     p.add_argument("--use-teacher", action="store_true",
                    help="evaluate the EMA teacher weights")
     p.add_argument("--show-dir", default=None)
@@ -37,6 +42,9 @@ def parse_args():
                         "(reference encoder_decoder.py:175-218)")
     p.add_argument("--slide-crop", type=int, nargs=2, default=(512, 512))
     p.add_argument("--slide-stride", type=int, nargs=2, default=(341, 341))
+    p.add_argument("--slide-crop-chunk", type=int, default=None,
+                   help="max crops per forward in slide mode (bounds HBM; "
+                        "default: the whole grid in one batched forward)")
     p.add_argument("--submit-to-website", action="store_true")
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--backbone", default="",
@@ -90,9 +98,14 @@ def main():
                                   with_events=cfg.model.train_type.startswith("cs2dsec"))
     elif cfg.data.target == "dsec":
         from cmda_tpu.data.dsec import DSECDataset
+        # clip/window/bins settings mirror the train target: the reference
+        # applies them to data.train/val/test together
+        # (my_run_experiments.py:232-238, 248-255, 352-360)
         dataset = DSECDataset(args.target_txt,
                               events_bins=cfg.data.events_bins,
                               isr_params=cfg.data.target_isr, test_mode=True,
+                              image_change_range=cfg.data.image_change_range,
+                              events_clip_range=cfg.data.events_clip_range,
                               outputs=("image", "events", "label"))
     else:
         from cmda_tpu.data.dark_zurich import DarkZurichDataset
@@ -104,18 +117,23 @@ def main():
                                     outputs=outputs)
 
     if args.submit_to_website:
-        export_submission(trainer, state, dataset, args)
+        if args.output_type is None:
+            args.output_type = ("fusion"
+                                if cfg.model.train_type.startswith("cs2dsec")
+                                else "image")
+        export_submission(trainer, state, dataset, args, cfg)
         return
 
     summary = evaluate_fusion(trainer, state, dataset,
-                              output=args.output_type,
+                              output=args.output_type or "fusion",
                               use_teacher=args.use_teacher,
                               num_classes=cfg.data.num_classes,
                               max_samples=args.max_samples,
                               show_dir=args.show_dir,
                               inference=args.inference,
                               slide_crop=tuple(args.slide_crop),
-                              slide_stride=tuple(args.slide_stride))
+                              slide_stride=tuple(args.slide_stride),
+                              slide_crop_chunk=args.slide_crop_chunk)
     print(json.dumps(summary, indent=2))
     if args.show_dir and os.path.isdir(args.show_dir):
         # bake the score into the dir name (reference tools/test.py:232-233)
@@ -124,36 +142,76 @@ def main():
         print(json.dumps({"show_dir": scored}))
 
 
-def export_submission(trainer, state, dataset, args):
-    """DarkZurich server format: labelTrainIds PNG at 1920x1080."""
+def export_submission(trainer, state, dataset, args, cfg, batch_size=4):
+    """DarkZurich evaluation-server export (reference tools/test.py:198-219).
+
+    Writes the exact tree the official server ingests:
+      <dir>/labelTrainIds/<name>_rgb_anon.png          uint8 trainIds
+      <dir>/labelTrainIds_invalid/<name>_rgb_anon.png  identical copy
+      <dir>/confidence/<name>_rgb_anon.png             uint16, all 65535
+    each resized to 1920x1080 NEAREST, file names keeping the original
+    rgb_anon basenames (reference apis/test.py:146 ori_filename).
+
+    Stream selection mirrors encoder_decoder.py:895-920: for cs2dz the
+    default submission is the IMAGE-ONLY stream ('image', my_test.py
+    test_output_type); ``--output-type fusion`` is the reference's
+    --image_isr path (image+ISR fusion); cs2dsec checkpoints use
+    image+events fusion."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image
 
     out_dir = args.show_dir or "submission"
-    os.makedirs(out_dir, exist_ok=True)
+    dirs = {k: os.path.join(out_dir, k)
+            for k in ("labelTrainIds", "labelTrainIds_invalid", "confidence")}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
     variables = {"params": state.ema_params if args.use_teacher else state.params,
                  "batch_stats": state.batch_stats}
     model = trainer.model
+    is_dsec = cfg.model.train_type.startswith("cs2dsec")
+    use_fusion = is_dsec or args.output_type == "fusion"
+    second_key = "events" if is_dsec else "isr"
 
     @jax.jit
     def infer(image, second):
-        return jnp.argmax(model.apply(variables, image, second, None,
-                                      mode="default", output="fusion"), axis=-1)
+        if use_fusion:
+            logits = model.apply(variables, image, second, None,
+                                 mode="default", output="fusion")
+        else:
+            logits = model.apply(variables, image, None, None,
+                                 mode="no_fusion", output="image")
+        return jnp.argmax(logits, axis=-1)
 
     n = len(dataset) if args.max_samples is None else min(len(dataset),
                                                           args.max_samples)
-    for i in range(n):
-        s = dataset[i]
-        pred = infer(jnp.asarray(s["image"])[None],
-                     jnp.asarray(s["isr"])[None])
-        pred = np.asarray(pred)[0].astype(np.uint8)
-        img = Image.fromarray(pred).resize((1920, 1080), Image.NEAREST)
-        name = dataset.files[i].split("/")[-1].replace("_rgb_anon.png",
-                                                       "_labelTrainIds.png")
-        img.save(os.path.join(out_dir, name))
-    print(json.dumps({"submitted": n, "dir": out_dir}))
+    for start in range(0, n, batch_size):
+        idxs = list(range(start, min(start + batch_size, n)))
+        samples = [dataset[i] for i in idxs]
+        image = np.stack([s["image"] for s in samples])
+        if use_fusion:
+            second = np.stack([s[second_key] for s in samples])
+        else:
+            second = np.zeros_like(image)
+        # pad the tail batch so every launch reuses the one compiled shape
+        pad = batch_size - len(idxs)
+        if pad:
+            image = np.concatenate([image, image[-1:].repeat(pad, 0)])
+            second = np.concatenate([second, second[-1:].repeat(pad, 0)])
+        pred = np.asarray(infer(jnp.asarray(image), jnp.asarray(second)))
+        for j, i in enumerate(idxs):
+            label = Image.fromarray(pred[j].astype(np.uint8)).resize(
+                (1920, 1080), Image.NEAREST)
+            conf = Image.fromarray(
+                np.full(pred[j].shape, 65535, np.uint16)).resize(
+                (1920, 1080), Image.NEAREST)
+            name = os.path.basename(dataset.files[i])
+            label.save(os.path.join(dirs["labelTrainIds"], name))
+            label.save(os.path.join(dirs["labelTrainIds_invalid"], name))
+            conf.save(os.path.join(dirs["confidence"], name))
+    print(json.dumps({"submitted": n, "dir": out_dir,
+                      "stream": "fusion" if use_fusion else "image"}))
 
 
 if __name__ == "__main__":

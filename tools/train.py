@@ -154,6 +154,10 @@ def ablation_overrides(args):
         add("data.events_clip_range",
             (args.events_clip_range, args.events_clip_range))
     if args.events_bins_5_avg_1:
+        # global on purpose: the reference sets events_bins_5_avg_1 on
+        # data.train.target AND data.val/test (my_run_experiments.py:248-255),
+        # and DSECDataset averages the 5 normed bins to 1 in both modes
+        # (reference dsec.py:145-147,304-305)
         add("data.events_bins", 5)
     if args.image_change_range != -1:
         add("data.image_change_range", args.image_change_range)
@@ -285,8 +289,13 @@ def build_datasets(cfg, args):
                           image_change_range=d.image_change_range,
                           events_clip_range=d.events_clip_range,
                           shift_type=d.shift_type)
+        # events_clip_range / image_change_range / events_bins apply to
+        # train AND val/test alike (reference my_run_experiments.py:232-238,
+        # 248-255, 352-360 sets them on data.train/val/test together)
         val = (DSECDataset(args.val_txt, events_bins=d.events_bins,
                            isr_params=d.target_isr, test_mode=True,
+                           image_change_range=d.image_change_range,
+                           events_clip_range=d.events_clip_range,
                            outputs=("image", "events", "label"))
                if args.val_txt else None)
     else:
@@ -376,7 +385,11 @@ def main():
         # per-host independent file shards (DistributedSampler equivalent,
         # reference mmseg/datasets/builder.py:136-139)
         from cmda_tpu.parallel.mesh import shard_files_for_host
-        for ds in (dataset.source, dataset.target):
+        # val included: each host evaluates its shard and evaluate_fusion
+        # all-reduces the histograms (reference collect_results_cpu path)
+        for ds in (dataset.source, dataset.target, val):
+            if ds is None:
+                continue
             if hasattr(ds, "files") and ds.files:
                 ds.files = shard_files_for_host(ds.files)
             elif hasattr(ds, "rows") and len(ds.rows):
