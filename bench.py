@@ -45,7 +45,8 @@ def enable_compile_cache():
 
 
 def run(batch_size: int, steps: int = 10, warmup: int = 3,
-        remat: str = "block"):
+        remat: str = "block", moments: str = "float32",
+        head_batched: bool = False):
     import sys
     import jax
     import jax.numpy as jnp
@@ -56,8 +57,10 @@ def run(batch_size: int, steps: int = 10, warmup: int = 3,
     cfg = replace(cfg, dtype="bfloat16",
                   model=replace(cfg.model, remat=remat != "none",
                                 remat_policy=("dots" if remat == "dots"
-                                              else "full")),
+                                              else "full"),
+                                head_batched_train=head_batched),
                   data=replace(cfg.data, batch_size=batch_size),
+                  optim=replace(cfg.optim, moment_dtype=moments),
                   uda=replace(cfg.uda, use_cyclegan_day_events=True))
     trainer = DACSTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -110,6 +113,13 @@ def main():
     ap.add_argument("--remat", default="block",
                     choices=["block", "dots", "none"])
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--moments", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="AdamW moment storage dtype (bfloat16 returns "
+                         "~1.6 GB HBM on the b5 flagship)")
+    ap.add_argument("--head-batched", action="store_true",
+                    help="batched multi-stream head in the TRAIN path "
+                         "(model.head_batched_train)")
     args = ap.parse_args()
 
     enable_compile_cache()
@@ -121,7 +131,9 @@ def main():
         # treat a genuine HBM OOM as final for this batch size
         for attempt in range(2):
             try:
-                sps, stats = run(bs, steps=args.steps, remat=args.remat)
+                sps, stats = run(bs, steps=args.steps, remat=args.remat,
+                 moments=args.moments,
+                 head_batched=args.head_batched)
                 batch_size = bs
                 break
             except Exception as e:
