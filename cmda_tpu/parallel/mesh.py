@@ -106,21 +106,66 @@ def shard_batch_multihost(batch, mesh: Mesh, spatial: bool = False):
     return jax.tree.map(place, batch)
 
 
+def opt_state_sharding(opt_state, mesh: Mesh):
+    """ZeRO-1-style sharding spec for the optimizer state: dim-0 of every
+    moment tensor is sharded over 'data' when divisible, scalars/counts
+    replicated. On the ~210M-param flagship the f32 AdamW moments are
+    ~1.7 GB — sharding them over an 8-chip data axis returns ~1.5 GB/chip
+    (the 'optimizer-state sharding' lever of docs/SCALING.md). XLA inserts
+    the update all-gather; gradients stay a single psum."""
+    n = mesh.shape["data"]
+
+    def spec(x):
+        if (hasattr(x, "ndim") and x.ndim >= 1
+                and x.shape[0] % n == 0 and x.shape[0] > 0):
+            return NamedSharding(mesh, P("data"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, opt_state)
+
+
 def make_parallel_train_step(trainer, mesh: Mesh, *, donate: bool = True,
-                             spatial: bool = False):
+                             spatial: bool = False,
+                             shard_opt_state: bool = False):
     """jit the DACS step over the mesh: state replicated, batch data-sharded.
 
-    GSPMD turns the global-mean losses into per-shard means + all-reduce; the
-    parameter update and EMA blend stay replicated (no ZeRO sharding needed:
-    ~210M fp32 params fit comfortably per chip)."""
+    GSPMD turns the global-mean losses into per-shard means + all-reduce;
+    the parameter update and EMA blend stay replicated (~210M fp32 params
+    fit per chip). ``shard_opt_state=True`` additionally distributes the
+    AdamW moments over the 'data' axis (opt_state_sharding) — numerically
+    identical (tests/test_parallel.py), one extra update all-gather."""
     repl = replicated(mesh)
     bsh = batch_sharding(mesh, spatial)
 
     def step(state, batch, rng):
         return trainer.train_step(state, batch, rng)
 
-    return jax.jit(
-        step,
-        in_shardings=(repl, bsh, repl),   # prefix shardings broadcast to leaves
-        out_shardings=(repl, repl),
-        donate_argnums=(0,) if donate else ())
+    if not shard_opt_state:
+        return jax.jit(
+            step,
+            in_shardings=(repl, bsh, repl),  # prefix shardings broadcast
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else ())
+
+    def state_shardings(state):
+        tree = jax.tree.map(lambda _: repl, state)
+        return tree.replace(opt_state=opt_state_sharding(state.opt_state,
+                                                         mesh))
+
+    def jit_for(state):
+        sh = state_shardings(state)
+        return jax.jit(
+            step,
+            in_shardings=(sh, bsh, repl),
+            out_shardings=((sh, repl)),
+            donate_argnums=(0,) if donate else ())
+
+    # shardings depend on the concrete opt-state tree; build on first call
+    cache = {}
+
+    def stepper(state, batch, rng):
+        if "fn" not in cache:
+            cache["fn"] = jit_for(state)
+        return cache["fn"](state, batch, rng)
+
+    return stepper

@@ -123,7 +123,13 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
     histograms are all-reduced before scoring (allreduce_histograms), so a
     host-sharded val set yields the exact global mIoU on every host."""
     params = state.ema_params if use_teacher else state.params
-    variables = {"params": params, "batch_stats": state.batch_stats}
+    batch_stats = state.batch_stats
+    if jax.process_count() > 1:
+        # multi-process state arrays span processes; pull the (fully
+        # replicated) weights to host so eval jits run on local devices
+        params = jax.device_get(params)
+        batch_stats = jax.device_get(batch_stats)
+    variables = {"params": params, "batch_stats": batch_stats}
     model = trainer.model
 
     def logits_fn(image, events):
@@ -194,9 +200,18 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
 
 class TrainLoop:
     def __init__(self, cfg: RunConfig, *, dataset, val_dataset=None,
-                 work_dir: str | None = None, num_workers: int | None = None):
+                 work_dir: str | None = None, num_workers: int | None = None,
+                 mesh=None, shard_opt_state: bool = False):
+        """``mesh``: a jax.sharding.Mesh turns the step into the GSPMD
+        data-parallel step (parallel/mesh.py) — REQUIRED for multi-host
+        runs, where each host's loader feeds its local shard of the global
+        batch and gradients sync through the mesh psum; without it every
+        process would train an unsynchronized replica. ``shard_opt_state``
+        adds ZeRO-1 moment sharding over the 'data' axis."""
         self.cfg = cfg
         self.trainer = DACSTrainer(cfg)
+        self.mesh = mesh
+        self.shard_opt_state = shard_opt_state
         self.dataset = dataset
         self.val_dataset = val_dataset
         ts = time.strftime("%Y%m%d_%H%M%S")
@@ -258,7 +273,27 @@ class TrainLoop:
         rng = jax.random.PRNGKey(cfg.seed)
         if state is None:
             state = self.trainer.init_state(rng)
-        step_fn = self.trainer.jit_train_step(donate=True)
+        if self.mesh is not None:
+            from ..parallel.mesh import (make_parallel_train_step,
+                                         opt_state_sharding, shard_batch,
+                                         shard_batch_multihost)
+            step_fn = make_parallel_train_step(
+                self.trainer, self.mesh, donate=True,
+                shard_opt_state=self.shard_opt_state)
+            if self.shard_opt_state:
+                zsh = opt_state_sharding(state.opt_state, self.mesh)
+                state = state.replace(opt_state=jax.tree.map(
+                    jax.device_put, state.opt_state, zsh))
+            multihost = jax.process_count() > 1
+
+            def place_batch(b):
+                return (shard_batch_multihost(b, self.mesh) if multihost
+                        else shard_batch(b, self.mesh))
+        else:
+            step_fn = self.trainer.jit_train_step(donate=True)
+
+            def place_batch(b):
+                return jax.tree.map(jnp.asarray, b)
         base_rng = jax.random.fold_in(rng, 1)
 
         t_start = time.perf_counter()
@@ -266,9 +301,12 @@ class TrainLoop:
         debug_fn = None
         for it in range(int(state.step), max_iters):
             t_data = time.perf_counter()
-            batch = jax.tree.map(jnp.asarray, next(self.loader))
+            batch = place_batch(next(self.loader))
             data_time = time.perf_counter() - t_data
-            if cfg.debug_img_interval and (it + 1) % cfg.debug_img_interval == 0:
+            if (cfg.debug_img_interval and self.mesh is None
+                    and (it + 1) % cfg.debug_img_interval == 0):
+                # debug grids are a single-device path; under a mesh the
+                # donated sharded state would need its own pjit — skipped
                 # snapshot BEFORE the step (state is donated by step_fn)
                 if debug_fn is None:
                     debug_fn = self.trainer.jit_debug_tensors()

@@ -158,3 +158,39 @@ def test_two_process_train_and_eval(tmp_path):
     # and the training losses match the single-process run per-step
     np.testing.assert_allclose(w0["losses"], ref["losses"], rtol=2e-4)
     np.testing.assert_allclose(w1["losses"], ref["losses"], rtol=2e-4)
+
+
+def test_opt_state_sharding_zero1():
+    """shard_opt_state=True (ZeRO-1 moments over 'data') must produce the
+    SAME updated params as the replicated step, with moment leaves actually
+    sharded across the mesh."""
+    from cmda_tpu.parallel.mesh import opt_state_sharding
+
+    cfg = tiny_test_config()
+    trainer = DACSTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch_host = synth_batch(3, b=8)
+    mesh = make_mesh(n_data=8)
+
+    step_r = make_parallel_train_step(trainer, mesh, donate=False)
+    step_z = make_parallel_train_step(trainer, mesh, donate=False,
+                                      shard_opt_state=True)
+    batch = shard_batch(batch_host, mesh)
+    s_r, logs_r = step_r(state, batch, jax.random.PRNGKey(7))
+    # place the opt state on its sharded layout before the ZeRO-1 step
+    zsh = opt_state_sharding(state.opt_state, mesh)
+    state_z = state.replace(
+        opt_state=jax.tree.map(jax.device_put, state.opt_state, zsh))
+    s_z, logs_z = step_z(state_z, batch, jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(float(logs_z["loss"]), float(logs_r["loss"]),
+                               rtol=2e-4)
+    a = np.asarray(jax.tree.leaves(s_r.params)[0])
+    b = np.asarray(jax.tree.leaves(s_z.params)[0])
+    np.testing.assert_allclose(a, b, atol=3e-5)
+    # the moments really are distributed
+    mu_leaves = [x for x in jax.tree.leaves(s_z.opt_state)
+                 if hasattr(x, "sharding") and x.ndim >= 1
+                 and x.shape[0] % 8 == 0 and x.shape[0] > 0]
+    assert mu_leaves and any(
+        not x.sharding.is_fully_replicated for x in mu_leaves)

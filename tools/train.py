@@ -54,6 +54,12 @@ def parse_args():
                         "(the reference's init_dist/DistributedSampler path)")
     p.add_argument("--coordinator", default=None,
                    help="coordinator address for --multi-host")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="train through the GSPMD data mesh over all local "
+                        "devices (implied by --multi-host)")
+    p.add_argument("--shard-opt-state", action="store_true",
+                   help="ZeRO-1: shard AdamW moments over the data axis "
+                        "(parallel/mesh.py opt_state_sharding)")
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    metavar="KEY=VAL",
                    help="dotted config override, e.g. uda.pseudo_threshold"
@@ -396,8 +402,15 @@ def main():
                 ds.rows = np.asarray(shard_files_for_host(list(ds.rows)))
 
     from cmda_tpu.train.loop import TrainLoop, load_checkpoint
+    mesh = None
+    if args.multi_host or args.data_parallel:
+        # the GSPMD step is what syncs gradients across devices/processes
+        # (a bare jit would train unsynchronized per-host replicas)
+        from cmda_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
     loop = TrainLoop(cfg, dataset=dataset, val_dataset=val,
-                     work_dir=args.work_dir, num_workers=args.num_workers)
+                     work_dir=args.work_dir, num_workers=args.num_workers,
+                     mesh=mesh, shard_opt_state=args.shard_opt_state)
     state = None
     if args.resume_from:
         import jax
