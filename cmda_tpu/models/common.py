@@ -85,11 +85,17 @@ class StreamBatchNorm(nn.Module):
         red = tuple(range(1, xg.ndim - 1))
         gm = jnp.mean(xg, axis=red)                     # [g, C]
         shape = (g,) + (1,) * (xg.ndim - 2) + (c,)
-        # two-pass variance (torch semantics), NOT E[x^2]-E[x]^2: the fast
+        # single-pass E[x^2]-E[x]^2 variance, CLAMPED at 0: the raw fast
         # formula cancels catastrophically on (near-)constant inputs — e.g.
         # a 1x1 feature upsampled by the SegFormerAdapter neck — going
-        # negative beyond eps and emitting NaN through rsqrt
-        gv = jnp.mean(jnp.square(xg - gm.reshape(shape)), axis=red)
+        # negative beyond eps and emitting NaN through rsqrt. The clamp is
+        # sufficient (two-pass costs ~2% step time for nothing, docs/PERF.md):
+        # cancellation error is bounded by ~mean^2 * 2^-23, below the eps=1e-5
+        # floor of the rsqrt denominator for the O(1)-mean features every BN
+        # here sees, and an exactly-constant input gives y == bias under both
+        # forms (x - mean is exactly 0 in f32 for identical values).
+        gv = jnp.maximum(
+            jnp.mean(jnp.square(xg), axis=red) - jnp.square(gm), 0.0)
         y = (xg - gm.reshape(shape)) * jax.lax.rsqrt(
             gv.reshape(shape) + self.epsilon) * scale + bias
         y = y.reshape(x.shape).astype(self.dtype)
