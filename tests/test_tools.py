@@ -166,3 +166,29 @@ def test_single_image_inference_api(tmp_path):
     # image-only stream needs no second modality
     pred_img = inference_segmentor(seg2, str(img_path), second=None)
     assert pred_img.shape == (90, 130)
+
+
+def test_export_model_roundtrip(tmp_path):
+    """AOT serving export (tools/export_model.py): trace + serialize the
+    inference forward with jax.export, reload WITHOUT model code, and
+    match the live forward bit-for-bit on the pred and to 1e-4 on logits."""
+    import argparse
+    import jax.numpy as jnp
+    from tools import export_model as EM
+
+    art = str(tmp_path / "artifact")
+    args = argparse.Namespace(
+        artifact=art, config="tiny", checkpoint=None, torch_checkpoint=None,
+        output=None, image_only=False, batch=1, height=32, width=32,
+        platforms="cpu", set=None, verify=True)
+    EM.build_export(args)   # --verify asserts live == artifact internally
+    assert (tmp_path / "artifact" / "fn.stablehlo").exists()
+    meta = json.loads((tmp_path / "artifact" / "meta.json").read_text())
+    assert meta["input_shape"] == [1, 32, 32, 3]
+    assert meta["num_classes"] == 19 and len(meta["classes"]) == 19
+
+    # run-mode entry: deserialize + call on random inputs
+    logits, pred = EM.load_and_call(
+        art, np.zeros((1, 32, 32, 3), np.float32),
+        np.zeros((1, 32, 32, 3), np.float32))
+    assert logits.shape == (1, 32, 32, 19) and pred.shape == (1, 32, 32)
