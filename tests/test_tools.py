@@ -192,3 +192,45 @@ def test_export_model_roundtrip(tmp_path):
         art, np.zeros((1, 32, 32, 3), np.float32),
         np.zeros((1, 32, 32, 3), np.float32))
     assert logits.shape == (1, 32, 32, 19) and pred.shape == (1, 32, 32)
+
+
+def test_stream_infer_prefetcher_and_event_rate(tmp_path):
+    """tools/stream_infer.py plumbing: the ordered prefetcher must emit
+    strictly in index order across racing threads, and event_counts must
+    recover finish-start windows from images_to_events_index.txt."""
+    import time as _time
+    from tools.stream_infer import OrderedPrefetcher, event_counts
+
+    class Jittery:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            _time.sleep(0.001 * ((i * 7) % 5))   # scramble completion order
+            return {"i": i}
+
+    got = [s["i"] for s in OrderedPrefetcher(Jittery(40), 40, workers=4)]
+    assert got == list(range(40))
+
+    # errors surface to the consumer instead of hanging the stream
+    class Boom(Jittery):
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError("bad frame")
+            return {"i": i}
+
+    with pytest.raises(ValueError, match="bad frame"):
+        list(OrderedPrefetcher(Boom(8), 8, workers=2))
+
+    # event window accounting: index txt maps frame -> cumulative event idx
+    seq = tmp_path / "seq" / "images" / "left" / "rectified"
+    seq.mkdir(parents=True)
+    np.savetxt(tmp_path / "seq" / "images" / "images_to_events_index.txt",
+               np.array([0, 100, 250, 450]), fmt="%d")
+    rows = np.array([[str(seq / "000001.png"), "0"],
+                     [str(seq / "000003.png"), "0"]])
+    assert event_counts(rows, 1) == [100, 200]
+    assert event_counts(rows[1:], 2) == [350]

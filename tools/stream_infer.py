@@ -1,0 +1,215 @@
+"""Streaming multi-sequence DSEC inference (BASELINE config 5).
+
+Plays back one or more DSEC night sequences IN ORDER through the full
+serving path — C++/h5 event decode -> rectify -> voxel grid -> events_norm
+-> batched fusion forward on device — with host decode overlapped against
+device compute (ordered prefetch threads + JAX's async dispatch, pipeline
+depth 2). Reports frames/s and the consumed raw event rate (events/s),
+the "real-time event-rate throughput" stretch metric.
+
+The reference's closest path is the batch-1 python loop in
+single_gpu_test_events (reference mmseg/apis/test.py:109-213); here the
+frames of all sequences stream through one compiled batched program.
+
+    python tools/stream_infer.py --target-txt /tmp/corpus/dsec/night_test_dataset_warp.txt \
+        [--config cs2dsec] [--checkpoint DIR] [--batch 8] [--out-dir preds/]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import queue
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class OrderedPrefetcher:
+    """Reads dataset[0..n) on ``workers`` threads, yields strictly in order."""
+
+    def __init__(self, dataset, n: int, workers: int = 4, depth: int = 16):
+        self.dataset = dataset
+        self.n = n
+        self.done = {}
+        self.lock = threading.Condition()
+        self.depth = depth
+        self.next_emit = 0
+        self._threads = [
+            threading.Thread(target=self._run, args=(w, workers), daemon=True)
+            for w in range(workers)]
+        for t in self._threads:
+            t.start()
+
+    def _run(self, wid: int, stride: int):
+        for i in range(wid, self.n, stride):
+            try:
+                s = self.dataset[i]
+            except Exception as e:
+                s = e
+            with self.lock:
+                while i - self.next_emit >= self.depth:
+                    self.lock.wait(0.1)
+                self.done[i] = s
+                self.lock.notify_all()
+
+    def __iter__(self):
+        for i in range(self.n):
+            with self.lock:
+                while i not in self.done:
+                    self.lock.wait(0.1)
+                s = self.done.pop(i)
+                self.next_emit = i + 1
+                self.lock.notify_all()
+            if isinstance(s, Exception):
+                raise s
+            yield s
+
+
+def event_counts(rows, image_change_range: int) -> list[int]:
+    """Raw events consumed per frame: finish - start from the per-sequence
+    images_to_events_index.txt (the window the voxel grid integrates,
+    reference dsec.py:296-303)."""
+    counts, cache = [], {}
+    for row in rows:
+        image_path = str(row[0])
+        idx_file = os.path.join(image_path.split("left/rectified")[0],
+                                "images_to_events_index.txt")
+        if idx_file not in cache:
+            try:
+                cache[idx_file] = np.loadtxt(idx_file, dtype=np.int64)
+            except OSError:
+                cache[idx_file] = None
+        index_map = cache[idx_file]
+        if index_map is None:
+            counts.append(0)
+            continue
+        now = int(os.path.basename(image_path).split(".")[0])
+        counts.append(int(index_map[now] - index_map[now - image_change_range]))
+    return counts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target-txt", required=True)
+    ap.add_argument("--config", default="cs2dsec")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--max-samples", type=int, default=None)
+    ap.add_argument("--out-dir", default=None,
+                    help="write predicted trainId PNGs per frame")
+    ap.add_argument("--output-type", default="fusion",
+                    choices=["fusion", "image", "events"])
+    ap.add_argument("--set", nargs="*", default=[])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from cmda_tpu import config as C
+    from cmda_tpu.data.dsec import DSECDataset
+    from cmda_tpu.uda.dacs import DACSTrainer
+    from cmda_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+    cfg = {"cs2dsec": C.cs2dsec_image_events_b5,
+           "tiny": C.tiny_test_config}[args.config]()
+    cfg = C.apply_overrides(cfg, args.set)
+    trainer = DACSTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed))
+    if args.checkpoint:
+        from cmda_tpu.train.loop import load_checkpoint
+        state = load_checkpoint(state, args.checkpoint)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    dataset = DSECDataset(args.target_txt, events_bins=cfg.data.events_bins,
+                          isr_params=cfg.data.target_isr, test_mode=True,
+                          image_change_range=cfg.data.image_change_range,
+                          events_clip_range=cfg.data.events_clip_range,
+                          outputs=("image", "events"))
+    n = len(dataset) if args.max_samples is None else min(len(dataset),
+                                                          args.max_samples)
+    if n == 0:
+        sys.exit("empty dataset txt")
+    counts = event_counts(dataset.rows[:n], cfg.data.image_change_range)
+    sequences = sorted({str(r[0]).split("/")[-5] if len(str(r[0]).split("/")) >= 5
+                        else "seq" for r in dataset.rows[:n]})
+
+    @jax.jit
+    def infer(image, events):
+        logits = trainer.model.apply(variables, image, events, None,
+                                     mode="default", output=args.output_type)
+        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+
+    # warm the compile outside the timed stream (first frame's shape)
+    first = dataset[0]
+    b0 = jnp.zeros((args.batch,) + first["image"].shape, jnp.float32)
+    jax.block_until_ready(infer(b0, b0))
+
+    stream = iter(OrderedPrefetcher(dataset, n, workers=args.workers))
+    inflight = []          # (pred_device, frame_indices) pipeline, depth 2
+    t0 = time.perf_counter()
+    frames = 0
+    images, events, idxs = [], [], []
+
+    def flush():
+        nonlocal images, events, idxs
+        if not idxs:
+            return
+        real = len(idxs)
+        while len(images) < args.batch:      # pad tail to the compiled shape
+            images.append(images[-1])
+            events.append(events[-1])
+        pred = infer(jnp.asarray(np.stack(images)),
+                     jnp.asarray(np.stack(events)))
+        inflight.append((pred, list(idxs), real))
+        images, events, idxs = [], [], []
+        while len(inflight) > 2:             # bound the pipeline
+            drain(*inflight.pop(0))
+
+    def drain(pred, frame_idxs, real):
+        nonlocal frames
+        p = np.asarray(pred)                 # sync point
+        frames += real
+        if args.out_dir:
+            from PIL import Image
+            for j in range(real):
+                Image.fromarray(p[j]).save(os.path.join(
+                    args.out_dir, f"{frame_idxs[j]:06d}_labelTrainIds.png"))
+
+    for i, s in enumerate(stream):
+        if i >= n:
+            break
+        images.append(s["image"])
+        events.append(s["events"])
+        idxs.append(i)
+        if len(idxs) == args.batch:
+            flush()
+    flush()
+    for item in inflight:
+        drain(*item)
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "dsec_streaming_inference",
+        "frames": frames, "sequences": sequences,
+        "fps": round(frames / dt, 2),
+        "ms_per_frame": round(1e3 * dt / frames, 2),
+        "events_per_s": int(sum(counts) / dt),
+        "batch": args.batch, "output": args.output_type,
+        "out_dir": args.out_dir,
+    }))
+    # loader threads + the TPU client hang at interpreter teardown
+    sys.stdout.flush()
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()
