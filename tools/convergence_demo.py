@@ -27,7 +27,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_variant(name, cfg, iters, eval_every, work_dir, eval_len=32):
+def run_variant(name, cfg, iters, eval_every, work_dir, eval_len=32,
+                resume=False):
     import jax
     from cmda_tpu.data.synthetic import LearnableScenes
     from cmda_tpu.data.uda import UDAPairDataset
@@ -41,7 +42,20 @@ def run_variant(name, cfg, iters, eval_every, work_dir, eval_len=32):
     loop = TrainLoop(cfg, dataset=UDAPairDataset(src, tgt, seed=cfg.seed),
                      val_dataset=val,
                      work_dir=os.path.join(work_dir, name))
-    state = loop.run(max_iters=iters)
+    state = None
+    if resume:
+        # pick up after a wedged/killed run: periodic checkpoints live in
+        # <work_dir>/<name>/iter_<k>
+        ckpts = sorted(glob.glob(os.path.join(work_dir, name, "iter_*")),
+                       key=lambda p: int(p.rsplit("_", 1)[1]))
+        if ckpts:
+            from cmda_tpu.train.loop import load_checkpoint
+            state = load_checkpoint(
+                loop.trainer.init_state(jax.random.PRNGKey(cfg.seed)),
+                ckpts[-1])
+            print(json.dumps({"resumed": ckpts[-1],
+                              "step": int(state.step)}), flush=True)
+    state = loop.run(max_iters=iters, state=state)
     final = evaluate_fusion(loop.trainer, state, val,
                             num_classes=cfg.data.num_classes)
     return loop.work_dir, final
@@ -55,6 +69,11 @@ def main():
     ap.add_argument("--work-dir", default="work_dirs/convergence")
     ap.add_argument("--skip", choices=["", "uda", "source_only"], default="",
                     help="run only the other variant")
+    ap.add_argument("--ckpt-every", type=int, default=2000,
+                    help="periodic checkpoint interval (wedge insurance)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue each variant from its latest iter_* "
+                         "checkpoint under --work-dir")
     args = ap.parse_args()
 
     from cmda_tpu.utils.profiling import enable_compile_cache
@@ -66,7 +85,7 @@ def main():
         base,
         data=C.replace(base.data, batch_size=args.batch),
         eval_interval=args.eval_every,
-        checkpoint_interval=10 ** 9,     # no checkpoints needed
+        checkpoint_interval=args.ckpt_every,
         debug_img_interval=0,
         log_interval=20,
         optim=C.replace(base.optim, max_iters=args.iters, warmup_iters=50,
@@ -79,7 +98,7 @@ def main():
         cfg = base if name == "uda" else C.replace(
             base, uda=C.replace(base.uda, source_only=True))
         wd, final = run_variant(name, cfg, args.iters, args.eval_every,
-                                args.work_dir)
+                                args.work_dir, resume=args.resume)
         results[name] = {"work_dir": wd, "mIoU": final["mIoU"],
                          "aAcc": final["aAcc"]}
         print(json.dumps({name: results[name]}), flush=True)
