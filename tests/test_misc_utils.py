@@ -96,3 +96,41 @@ def test_scale_by_adam_lp_matches_optax():
                                    np.asarray(out[0]["w"]), atol=1e-4)
         np.testing.assert_allclose(np.asarray(out[2]["w"]),
                                    np.asarray(out[0]["w"]), atol=0.05)
+
+
+def test_analyze_trace_chrome_grouping(tmp_path):
+    """tools/analyze_trace.py: device-lane filtering + instance-suffix
+    grouping over a synthetic Chrome trace dump."""
+    import gzip
+    import json as _json
+    import sys as _sys
+    from tools.analyze_trace import (find_artifacts, load_chrome_events,
+                                     device_events_from_chrome)
+
+    run = tmp_path / "plugins" / "profile" / "2026_01_01_00_00_00"
+    run.mkdir(parents=True)
+    events = [
+        {"ph": "M", "name": "process_name", "pid": 1,
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "name": "process_name", "pid": 2,
+         "args": {"name": "python host thread"}},
+        {"ph": "X", "pid": 1, "name": "fusion.1", "dur": 100.0, "ts": 0},
+        {"ph": "X", "pid": 1, "name": "fusion.2", "dur": 50.0, "ts": 1},
+        {"ph": "X", "pid": 1, "name": "while", "dur": 400.0, "ts": 2},
+        # host event must be filtered out
+        {"ph": "X", "pid": 2, "name": "python_call", "dur": 999.0, "ts": 3},
+    ]
+    with gzip.open(run / "vm.trace.json.gz", "wt") as f:
+        _json.dump({"traceEvents": events}, f)
+
+    chrome, xplanes = find_artifacts(str(tmp_path))
+    assert chrome and not xplanes
+    got = list(device_events_from_chrome(load_chrome_events(chrome[0])))
+    assert ("while", 400.0) in got
+    assert all(name != "python_call" for name, _ in got)
+    # grouping collapses fusion.1/fusion.2 under one key
+    import collections, re
+    total = collections.Counter()
+    for name, dur in got:
+        total[re.sub(r"\.\d+$", "", name)] += dur
+    assert total["fusion"] == 150.0 and total["while"] == 400.0
