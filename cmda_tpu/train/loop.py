@@ -111,7 +111,8 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
                     inference: str = "whole",
                     slide_crop: tuple[int, int] = (512, 512),
                     slide_stride: tuple[int, int] = (341, 341),
-                    slide_crop_chunk: int | None = None) -> dict:
+                    slide_crop_chunk: int | None = None,
+                    aug_test: bool = False) -> dict:
     """Whole-image or sliding-window inference over a test dataset -> mIoU.
 
     Mirrors single_gpu_test_events + dataset.evaluate (reference
@@ -119,9 +120,14 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
     stream logits at input resolution, argmax, 19-class histograms; the
     18-class summary applies the x19/18 rule. ``inference='slide'`` compiles
     the reference's crop-accumulate loop (encoder_decoder.py:175-218) as one
-    XLA program over both modalities. Under multi-process runs the per-host
+    XLA program over both modalities. ``aug_test=True`` averages softmax
+    over the reference's hard-coded TTA grid — img_ratios 0.5..1.75 plus
+    horizontal flip (reference tools/test.py:118-123) — in whole mode.
+    Under multi-process runs the per-host
     histograms are all-reduced before scoring (allreduce_histograms), so a
     host-sharded val set yields the exact global mIoU on every host."""
+    if aug_test and inference == "slide":
+        raise ValueError("aug_test applies to whole-image inference only")
     params = state.ema_params if use_teacher else state.params
     batch_stats = state.batch_stats
     if jax.process_count() > 1:
@@ -155,13 +161,28 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
                                      num_classes=num_classes,
                                      crop_chunk=slide_crop_chunk)
             return jnp.argmax(logits, axis=-1)
+        if aug_test:
+            from ..models.segmentor import multi_scale_flip_inference
+            both = jnp.concatenate([image, events], axis=-1)
+            nc = image.shape[-1]
+            prob = multi_scale_flip_inference(
+                lambda x: logits_fn(x[..., :nc], x[..., nc:]), both,
+                scales=(0.5, 0.75, 1.0, 1.25, 1.5, 1.75), flip=True)
+            return jnp.argmax(prob, axis=-1)
         return jnp.argmax(logits_fn(image, events), axis=-1)
 
     @jax.jit
     def infer_image_only(image):
-        return jnp.argmax(
-            model.apply(variables, image, None, None, mode="no_fusion",
-                        output="image"), axis=-1)
+        def img_logits(x):
+            return model.apply(variables, x, None, None, mode="no_fusion",
+                               output="image")
+        if aug_test:
+            from ..models.segmentor import multi_scale_flip_inference
+            prob = multi_scale_flip_inference(
+                img_logits, image,
+                scales=(0.5, 0.75, 1.0, 1.25, 1.5, 1.75), flip=True)
+            return jnp.argmax(prob, axis=-1)
+        return jnp.argmax(img_logits(image), axis=-1)
 
     totals = [np.zeros(num_classes, np.float64) for _ in range(4)]
     n = len(dataset) if max_samples is None else min(len(dataset), max_samples)

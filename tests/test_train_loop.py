@@ -51,3 +51,20 @@ def test_evaluate_fusion_shapes():
     summary = evaluate_fusion(trainer, state, val)
     assert "mIoU" in summary and "mIoU_18cls" in summary
     assert len(summary["per_class_iou"]) == 19
+
+
+def test_evaluate_fusion_aug_test():
+    """--aug-test TTA grid (reference tools/test.py:118-123): the averaged
+    multi-scale+flip path produces a valid summary, and slide+aug_test is
+    rejected."""
+    import pytest
+    cfg = tiny_test_config()
+    from cmda_tpu.uda.dacs import DACSTrainer
+    trainer = DACSTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    val = SyntheticTarget(crop_size=(64, 64), length=1, test_mode=True)
+    summary = evaluate_fusion(trainer, state, val, aug_test=True)
+    assert 0.0 <= summary["mIoU"] <= 1.0
+    with pytest.raises(ValueError):
+        evaluate_fusion(trainer, state, val, aug_test=True,
+                        inference="slide")

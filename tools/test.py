@@ -45,6 +45,10 @@ def parse_args():
     p.add_argument("--slide-crop-chunk", type=int, default=None,
                    help="max crops per forward in slide mode (bounds HBM; "
                         "default: the whole grid in one batched forward)")
+    p.add_argument("--aug-test", action="store_true",
+                   help="multi-scale (0.5..1.75) + horizontal-flip TTA, "
+                        "softmax-averaged (reference tools/test.py:39,"
+                        "118-123); whole-mode only")
     p.add_argument("--submit-to-website", action="store_true")
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--backbone", default="",
@@ -133,7 +137,8 @@ def main():
                               inference=args.inference,
                               slide_crop=tuple(args.slide_crop),
                               slide_stride=tuple(args.slide_stride),
-                              slide_crop_chunk=args.slide_crop_chunk)
+                              slide_crop_chunk=args.slide_crop_chunk,
+                              aug_test=args.aug_test)
     print(json.dumps(summary, indent=2))
     if args.show_dir and os.path.isdir(args.show_dir):
         # bake the score into the dir name (reference tools/test.py:232-233)
