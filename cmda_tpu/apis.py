@@ -131,7 +131,8 @@ def init_segmentor(config="cs2dz", checkpoint: str | None = None,
 
 
 def inference_segmentor(segmentor: Segmentor, image, second=None,
-                        out_file: str | None = None):
+                        out_file: str | None = None,
+                        opacity: float | None = None):
     """Segment one image file (or pre-normalized array).
 
     When ``second`` is None and the selected stream needs a second
@@ -155,5 +156,6 @@ def inference_segmentor(segmentor: Segmentor, image, second=None,
     _, pred = segmentor(arr, second)
     if out_file:
         from .utils.visualization import show_result
-        show_result(arr, pred, events=second, out_path=out_file)
+        show_result(arr, pred, events=second, out_path=out_file,
+                    opacity=opacity)
     return pred

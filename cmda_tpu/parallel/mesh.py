@@ -13,8 +13,17 @@ An optional ``space`` axis shards the spatial (height) dimension of the
 512x512 token grid — the sequence-parallel analogue for this workload
 (SURVEY.md §2.10/§5.7); conv halos and attention re-gathers are handled by
 XLA's SPMD partitioner.
+
+An optional ``model`` axis tensor-parallelizes the MiT encoder blocks
+(Megatron column/row pairing over fc1/fc2 and q,kv/proj — _TP_RULES):
+weights, EMA twins and AdamW moments all carry the shard, so per-chip
+state shrinks with the axis and the optimizer/EMA updates stay local.
+The reference has no model parallelism (torch DDP only); this is the
+TPU-native extension for backbones that outgrow one chip.
 """
 from __future__ import annotations
+
+import re
 
 import jax
 import numpy as np
@@ -22,12 +31,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_data: int | None = None, n_space: int = 1,
-              devices=None) -> Mesh:
+              devices=None, n_model: int = 1) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
-        n_data = len(devices) // n_space
-    devs = np.asarray(devices[: n_data * n_space]).reshape(n_data, n_space)
-    return Mesh(devs, axis_names=("data", "space"))
+        n_data = len(devices) // (n_space * n_model)
+    devs = np.asarray(devices[: n_data * n_space * n_model]).reshape(
+        n_data, n_space, n_model)
+    return Mesh(devs, axis_names=("data", "space", "model"))
 
 
 def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
@@ -124,23 +134,83 @@ def opt_state_sharding(opt_state, mesh: Mesh):
     return jax.tree.map(spec, opt_state)
 
 
+# Megatron-style tensor parallelism for the MiT encoder scan blocks
+# (the reference has no TP at all — torch DDP only, ddp_wrapper.py; this is
+# the TPU-native extension for backbones that outgrow one chip's HBM).
+# Rule: (parent module, leaf) -> which dim carries the 'model' shard.
+# fc1 / q / kv split their OUTPUT features; fc2 / attn-proj split their
+# INPUT (reduction) features, so XLA closes each block with one psum —
+# the classic column-then-row parallel pairing. The depthwise 3x3 between
+# fc1 and fc2 is per-channel, so it shards with the hidden dim for free.
+_TP_RULES = {
+    ("fc1", "kernel"): -1, ("fc1", "bias"): -1,
+    ("dwconv", "kernel"): -1, ("dwconv", "bias"): -1,
+    ("q", "kernel"): -1, ("q", "bias"): -1,
+    ("kv", "kernel"): -1, ("kv", "bias"): -1,
+    ("fc2", "kernel"): -2,
+    ("proj", "kernel"): -2,
+}
+
+_TP_STAGE = re.compile(r"blocks[1-4]")
+
+
+def _path_parts(path) -> list:
+    out = []
+    for p in path:
+        out.append(getattr(p, "name", None) or getattr(p, "key", None)
+                   or str(p))
+    return [str(s) for s in out]
+
+
+def tp_spec(path, x, n_model: int):
+    """PartitionSpec for one leaf under tensor parallelism (or P() if the
+    leaf is not a sharded-block param / not divisible). Works for params,
+    ema_params AND the AdamW moments: optax mu/nu mirror the param tree,
+    so the (module, leaf) path suffix is identical."""
+    parts = _path_parts(path)
+    if not any(_TP_STAGE.fullmatch(s) for s in parts):
+        return P()  # only the MiT encoder stages are tensor-parallel
+    dim = _TP_RULES.get(tuple(parts[-2:]))
+    if dim is None or not hasattr(x, "ndim") or x.ndim < abs(dim):
+        return P()
+    if n_model <= 1 or x.shape[dim] % n_model:
+        return P()
+    spec = [None] * x.ndim
+    spec[dim % x.ndim] = "model"
+    return P(*spec)
+
+
+def tp_state_sharding(state, mesh: Mesh):
+    """NamedSharding tree for the full train state under tensor parallelism:
+    encoder block params / EMA params / AdamW moments carry the 'model'
+    axis per tp_spec; everything else (batch stats, frozen nets, counters)
+    is replicated."""
+    n = mesh.shape.get("model", 1)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: NamedSharding(mesh, tp_spec(path, x, n)), state)
+
+
 def make_parallel_train_step(trainer, mesh: Mesh, *, donate: bool = True,
                              spatial: bool = False,
-                             shard_opt_state: bool = False):
+                             shard_opt_state: bool = False,
+                             tensor_parallel: bool = False):
     """jit the DACS step over the mesh: state replicated, batch data-sharded.
 
     GSPMD turns the global-mean losses into per-shard means + all-reduce;
     the parameter update and EMA blend stay replicated (~210M fp32 params
     fit per chip). ``shard_opt_state=True`` additionally distributes the
     AdamW moments over the 'data' axis (opt_state_sharding) — numerically
-    identical (tests/test_parallel.py), one extra update all-gather."""
+    identical (tests/test_parallel.py), one extra update all-gather.
+    ``tensor_parallel=True`` shards the encoder block weights, their EMA
+    twins and their AdamW moments over the 'model' axis (tp_state_sharding)
+    — the update and EMA blend then run shard-local with no gather."""
     repl = replicated(mesh)
     bsh = batch_sharding(mesh, spatial)
 
     def step(state, batch, rng):
         return trainer.train_step(state, batch, rng)
 
-    if not shard_opt_state:
+    if not (shard_opt_state or tensor_parallel):
         return jax.jit(
             step,
             in_shardings=(repl, bsh, repl),  # prefix shardings broadcast
@@ -148,6 +218,12 @@ def make_parallel_train_step(trainer, mesh: Mesh, *, donate: bool = True,
             donate_argnums=(0,) if donate else ())
 
     def state_shardings(state):
+        if tensor_parallel:
+            tree = tp_state_sharding(state, mesh)
+            if not shard_opt_state:
+                return tree
+            return tree.replace(opt_state=opt_state_sharding(
+                state.opt_state, mesh))
         tree = jax.tree.map(lambda _: repl, state)
         return tree.replace(opt_state=opt_state_sharding(state.opt_state,
                                                          mesh))

@@ -112,7 +112,8 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
                     slide_crop: tuple[int, int] = (512, 512),
                     slide_stride: tuple[int, int] = (341, 341),
                     slide_crop_chunk: int | None = None,
-                    aug_test: bool = False) -> dict:
+                    aug_test: bool = False,
+                    opacity: float | None = None) -> dict:
     """Whole-image or sliding-window inference over a test dataset -> mIoU.
 
     Mirrors single_gpu_test_events + dataset.evaluate (reference
@@ -210,7 +211,8 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
                     s["image"], pred[j], gt=s.get("label"),
                     events=s.get("events", s.get("isr")),
                     out_path=os.path.join(show_dir,
-                                          f"{tag}{start + j:06d}.png"))
+                                          f"{tag}{start + j:06d}.png"),
+                    opacity=opacity)
     totals = allreduce_histograms(totals)
     ret = eval_metrics(*totals)
     summary = summarize_miou(ret, valid_classes=18)
@@ -222,17 +224,21 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
 class TrainLoop:
     def __init__(self, cfg: RunConfig, *, dataset, val_dataset=None,
                  work_dir: str | None = None, num_workers: int | None = None,
-                 mesh=None, shard_opt_state: bool = False):
+                 mesh=None, shard_opt_state: bool = False,
+                 tensor_parallel: bool = False):
         """``mesh``: a jax.sharding.Mesh turns the step into the GSPMD
         data-parallel step (parallel/mesh.py) — REQUIRED for multi-host
         runs, where each host's loader feeds its local shard of the global
         batch and gradients sync through the mesh psum; without it every
         process would train an unsynchronized replica. ``shard_opt_state``
-        adds ZeRO-1 moment sharding over the 'data' axis."""
+        adds ZeRO-1 moment sharding over the 'data' axis;
+        ``tensor_parallel`` shards the encoder blocks over the mesh's
+        'model' axis (parallel/mesh.py tp_state_sharding)."""
         self.cfg = cfg
         self.trainer = DACSTrainer(cfg)
         self.mesh = mesh
         self.shard_opt_state = shard_opt_state
+        self.tensor_parallel = tensor_parallel
         self.dataset = dataset
         self.val_dataset = val_dataset
         ts = time.strftime("%Y%m%d_%H%M%S")
@@ -297,10 +303,15 @@ class TrainLoop:
         if self.mesh is not None:
             from ..parallel.mesh import (make_parallel_train_step,
                                          opt_state_sharding, shard_batch,
-                                         shard_batch_multihost)
+                                         shard_batch_multihost,
+                                         tp_state_sharding)
             step_fn = make_parallel_train_step(
                 self.trainer, self.mesh, donate=True,
-                shard_opt_state=self.shard_opt_state)
+                shard_opt_state=self.shard_opt_state,
+                tensor_parallel=self.tensor_parallel)
+            if self.tensor_parallel:
+                state = jax.tree.map(jax.device_put, state,
+                                     tp_state_sharding(state, self.mesh))
             if self.shard_opt_state:
                 zsh = opt_state_sharding(state.opt_state, self.mesh)
                 state = state.replace(opt_state=jax.tree.map(

@@ -60,13 +60,23 @@ def grid_panel(rows: list[list[np.ndarray]]) -> np.ndarray:
     return np.concatenate([hstack_panel(r) for r in rows], axis=0)
 
 
-def show_result(image, pred, gt=None, events=None, out_path=None):
-    """image|events|pred|GT panel (reference base.py:745-837)."""
+def show_result(image, pred, gt=None, events=None, out_path=None,
+                opacity: float | None = None):
+    """image|events|pred|GT panel (reference base.py:745-837). With
+    ``opacity`` the pred cell is the reference's blended overlay —
+    ``img*(1-op) + colors*op`` (base.py:241-248, tools/test.py --opacity)
+    — instead of the bare color map."""
     cells = [denorm_to_uint8(image)]
     if events is not None:
         cells.append(signed_to_uint8(events[..., 0] if events.ndim == 3
                                      else events))
-    cells.append(colorize_label(pred))
+    if opacity is not None:
+        assert 0 < opacity <= 1.0
+        blend = (cells[0].astype(np.float32) * (1 - opacity)
+                 + colorize_label(pred).astype(np.float32) * opacity)
+        cells.append(blend.astype(np.uint8))
+    else:
+        cells.append(colorize_label(pred))
     if gt is not None:
         cells.append(colorize_label(gt))
     panel = hstack_panel(cells)

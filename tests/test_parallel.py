@@ -194,3 +194,64 @@ def test_opt_state_sharding_zero1():
                  and x.shape[0] % 8 == 0 and x.shape[0] > 0]
     assert mu_leaves and any(
         not x.sharding.is_fully_replicated for x in mu_leaves)
+
+
+def test_tp_spec_rules():
+    """tp_spec targets exactly the Megatron pair dims of the encoder scan
+    blocks and nothing else (head/fusion/patch-embed stay replicated)."""
+    from cmda_tpu.parallel.mesh import tp_spec
+    import jax.tree_util as jtu
+
+    def path(*names):
+        return tuple(jtu.DictKey(n) for n in names)
+
+    x3 = np.zeros((2, 32, 64))  # stacked [L, in, out]
+    assert tp_spec(path("backbone_image", "blocks1", "mlp", "fc1", "kernel"),
+                   x3, 2) == jax.sharding.PartitionSpec(None, None, "model")
+    assert tp_spec(path("backbone_image", "blocks2", "mlp", "fc2", "kernel"),
+                   x3, 2) == jax.sharding.PartitionSpec(None, "model", None)
+    # patch embed 'proj' must NOT match (no blocksN in the path)
+    assert tp_spec(path("backbone_image", "patch_embed1", "proj", "kernel"),
+                   np.zeros((7, 7, 3, 64)), 2) == jax.sharding.PartitionSpec()
+    # head params never match
+    assert tp_spec(path("head", "fuse", "fc1", "kernel"), x3,
+                   2) == jax.sharding.PartitionSpec()
+    # non-divisible dims fall back to replicated
+    assert tp_spec(path("b", "blocks1", "attn", "q", "kernel"),
+                   np.zeros((2, 32, 33)), 2) == jax.sharding.PartitionSpec()
+
+
+def test_tensor_parallel_step_matches_replicated():
+    """tensor_parallel=True on a (data=2, model=2) mesh must produce the
+    same loss and updated params as the plain DP step on the same batch,
+    with encoder weights genuinely sharded over 'model' (the TP extension
+    has no reference twin — DDP only — so the oracle is our own DP step)."""
+    from cmda_tpu.parallel.mesh import tp_state_sharding
+
+    cfg = tiny_test_config()
+    trainer = DACSTrainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch_host = synth_batch(5, b=4)
+
+    mesh_dp = make_mesh(n_data=4, devices=jax.devices()[:4])
+    step_dp = make_parallel_train_step(trainer, mesh_dp, donate=False)
+    s_dp, logs_dp = step_dp(state, shard_batch(batch_host, mesh_dp),
+                            jax.random.PRNGKey(9))
+
+    mesh_tp = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+    step_tp = make_parallel_train_step(trainer, mesh_tp, donate=False,
+                                       tensor_parallel=True)
+    state_tp = jax.tree.map(jax.device_put, state,
+                            tp_state_sharding(state, mesh_tp))
+    s_tp, logs_tp = step_tp(state_tp, shard_batch(batch_host, mesh_tp),
+                            jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(float(logs_tp["loss"]),
+                               float(logs_dp["loss"]), rtol=2e-4)
+    a = np.asarray(jax.tree.leaves(s_dp.params)[0])
+    b = np.asarray(jax.tree.leaves(s_tp.params)[0])
+    np.testing.assert_allclose(a, b, atol=3e-5)
+    sharded = [x for x in jax.tree.leaves(s_tp.params)
+               if hasattr(x, "sharding")
+               and not x.sharding.is_fully_replicated]
+    assert sharded, "tensor_parallel left every param replicated"

@@ -97,3 +97,11 @@ def test_visualization_helpers(tmp_path):
     path = save_debug_grid(str(tmp_path / "dbg"), 7,
                            {"row1": [col, col], "row2": [col, col]})
     assert os.path.exists(path)
+    # opacity blend (reference base.py:241-248): the pred cell becomes
+    # img*(1-op) + colors*op instead of the bare color map
+    blended = show_result(img, label, opacity=0.5)
+    assert blended.shape == (16, 32, 3)
+    from cmda_tpu.utils.visualization import denorm_to_uint8
+    expect = (denorm_to_uint8(img).astype(np.float32) * 0.5
+              + col.astype(np.float32) * 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(blended[:, 16:], expect)

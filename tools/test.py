@@ -45,6 +45,10 @@ def parse_args():
     p.add_argument("--slide-crop-chunk", type=int, default=None,
                    help="max crops per forward in slide mode (bounds HBM; "
                         "default: the whole grid in one batched forward)")
+    p.add_argument("--opacity", type=float, default=None,
+                   help="blend pred colors over the input at this opacity "
+                        "in --show-dir panels (reference tools/test.py:81, "
+                        "base.py:241-248); default: bare color map cell")
     p.add_argument("--aug-test", action="store_true",
                    help="multi-scale (0.5..1.75) + horizontal-flip TTA, "
                         "softmax-averaged (reference tools/test.py:39,"
@@ -138,7 +142,8 @@ def main():
                               slide_crop=tuple(args.slide_crop),
                               slide_stride=tuple(args.slide_stride),
                               slide_crop_chunk=args.slide_crop_chunk,
-                              aug_test=args.aug_test)
+                              aug_test=args.aug_test,
+                              opacity=args.opacity)
     print(json.dumps(summary, indent=2))
     if args.show_dir and os.path.isdir(args.show_dir):
         # bake the score into the dir name (reference tools/test.py:232-233)

@@ -60,6 +60,10 @@ def parse_args():
     p.add_argument("--shard-opt-state", action="store_true",
                    help="ZeRO-1: shard AdamW moments over the data axis "
                         "(parallel/mesh.py opt_state_sharding)")
+    p.add_argument("--tensor-parallel", type=int, default=1, metavar="N",
+                   help="Megatron-shard the encoder blocks over a 'model' "
+                        "mesh axis of size N (parallel/mesh.py "
+                        "tp_state_sharding); implies the GSPMD mesh step")
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    metavar="KEY=VAL",
                    help="dotted config override, e.g. uda.pseudo_threshold"
@@ -403,14 +407,15 @@ def main():
 
     from cmda_tpu.train.loop import TrainLoop, load_checkpoint
     mesh = None
-    if args.multi_host or args.data_parallel:
+    if args.multi_host or args.data_parallel or args.tensor_parallel > 1:
         # the GSPMD step is what syncs gradients across devices/processes
         # (a bare jit would train unsynchronized per-host replicas)
         from cmda_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh()
+        mesh = make_mesh(n_model=args.tensor_parallel)
     loop = TrainLoop(cfg, dataset=dataset, val_dataset=val,
                      work_dir=args.work_dir, num_workers=args.num_workers,
-                     mesh=mesh, shard_opt_state=args.shard_opt_state)
+                     mesh=mesh, shard_opt_state=args.shard_opt_state,
+                     tensor_parallel=args.tensor_parallel > 1)
     state = None
     if args.resume_from:
         import jax
