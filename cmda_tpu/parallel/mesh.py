@@ -89,6 +89,32 @@ def init_distributed(coordinator_address: str | None = None,
     return jax.process_index(), jax.process_count()
 
 
+_BARRIER_SEQ: dict = {}
+
+
+def coordination_barrier(name: str, timeout_ms: int = 1_800_000) -> None:
+    """Block until every process reaches this barrier (no-op single-process).
+
+    Goes through the jax.distributed coordination service — NOT through a
+    device collective — so it is safe to call while processes are minutes
+    apart (compiling, loading, finishing uneven shards). Use it to align
+    processes immediately before the FIRST execution of a program with
+    cross-process collectives: the collective clique bring-up has a short
+    handshake window (XLA:CPU gloo publishes endpoints with a 30 s
+    GetKeyValue deadline) that a peer still busy tracing/compiling will
+    miss. Every process must call with the same sequence of names; a
+    per-name counter keeps repeated barriers distinct."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:
+        return
+    seq = _BARRIER_SEQ.get(name, 0)
+    _BARRIER_SEQ[name] = seq + 1
+    client.wait_at_barrier(f"cmda_{name}_{seq}", timeout_ms)
+
+
 def shard_files_for_host(files: list, process_index: int | None = None,
                          process_count: int | None = None) -> list:
     """Per-host file-list shard — the DistributedSampler equivalent
@@ -210,12 +236,31 @@ def make_parallel_train_step(trainer, mesh: Mesh, *, donate: bool = True,
     def step(state, batch, rng):
         return trainer.train_step(state, batch, rng)
 
+    def synced_first_call(jit_fn):
+        """Multi-process: AOT-compile on the first call, rendezvous at a
+        coordination barrier, THEN execute — so every process enters the
+        first collective run together. Without this, the fastest process
+        dispatches while peers are still tracing/compiling and the
+        collective clique bring-up times out (XLA:CPU gloo gives peers
+        only 30 s to publish endpoints). Single-process: the jit fn as-is."""
+        if jax.process_count() <= 1:
+            return jit_fn
+        cache = {}
+
+        def stepper(state, batch, rng):
+            if "fn" not in cache:
+                cache["fn"] = jit_fn.lower(state, batch, rng).compile()
+                coordination_barrier("train_step_ready")
+            return cache["fn"](state, batch, rng)
+
+        return stepper
+
     if not (shard_opt_state or tensor_parallel):
-        return jax.jit(
+        return synced_first_call(jax.jit(
             step,
             in_shardings=(repl, bsh, repl),  # prefix shardings broadcast
             out_shardings=(repl, repl),
-            donate_argnums=(0,) if donate else ())
+            donate_argnums=(0,) if donate else ()))
 
     def state_shardings(state):
         if tensor_parallel:
@@ -241,7 +286,7 @@ def make_parallel_train_step(trainer, mesh: Mesh, *, donate: bool = True,
 
     def stepper(state, batch, rng):
         if "fn" not in cache:
-            cache["fn"] = jit_for(state)
+            cache["fn"] = synced_first_call(jit_for(state))
         return cache["fn"](state, batch, rng)
 
     return stepper

@@ -99,6 +99,14 @@ def allreduce_histograms(totals: list) -> list:
     if jax.process_count() <= 1:
         return totals
     from jax.experimental import multihost_utils
+    # Rendezvous BEFORE the first cross-process collective: hosts reach the
+    # end of their eval shards minutes apart (local jit compiles are not
+    # synchronized), and the collective backend's clique bring-up has a
+    # short handshake window (XLA:CPU gloo: 30 s GetKeyValue) that a slow
+    # peer blows through. The coordination-service barrier waits as long
+    # as it takes; the allgather then starts aligned on every host.
+    from ..parallel.mesh import coordination_barrier
+    coordination_barrier("allreduce_histograms")
     gathered = multihost_utils.process_allgather(np.stack(totals))
     summed = np.asarray(gathered).sum(axis=0)
     return [summed[k] for k in range(len(totals))]

@@ -36,7 +36,16 @@ def main():
     args = ap.parse_args()
 
     from cmda_tpu.utils.profiling import enable_compile_cache
-    enable_compile_cache()
+    # Coordinated processes get their OWN cache namespace: the main cache
+    # accumulates entries from other sessions/machines (the axon remote
+    # service compiles with foreign machine features — cpu_aot_loader warns
+    # on load), and two processes resolving the same step to DIFFERENT
+    # stale executables desynchronizes the collective schedule (observed:
+    # gloo 'op.preamble.length 160 vs 32' aborts). A namespace only ever
+    # written by these coordinated workers keeps the pair consistent.
+    import os as _os
+    enable_compile_cache(
+        _os.path.expanduser("~/.cache/cmda_tpu_xla_cache_mp"))
     import jax
     # sitecustomize pins JAX_PLATFORMS=axon; force CPU before backend init
     jax.config.update("jax_platforms", "cpu")
