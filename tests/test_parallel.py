@@ -93,6 +93,16 @@ def test_init_distributed_single_host_noop():
     assert (pi, pc) == (0, 1)
 
 
+def test_coordination_barrier_single_process_noop():
+    """Single-process: returns immediately, no coordination service needed.
+    (The 2-process behavior is exercised for real by
+    test_two_process_train_and_eval via make_parallel_train_step and
+    allreduce_histograms.)"""
+    from cmda_tpu.parallel.mesh import coordination_barrier
+    coordination_barrier("noop-test")
+    coordination_barrier("noop-test")  # repeated names are fine
+
+
 def test_shard_batch_multihost_single_process():
     """With one process, make_array_from_process_local_data must build the
     same global batch as shard_batch."""
