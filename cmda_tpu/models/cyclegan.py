@@ -150,6 +150,19 @@ class ResnetGenerator(nn.Module):
         return jnp.tanh(y)
 
 
+def generator_from_params(params, norm: str = "instance") -> ResnetGenerator:
+    """Rebuild a ResnetGenerator matching a loaded param tree: ngf from the
+    conv_in kernel's output channels, n_blocks by counting ``resblock*``
+    entries, output_nc from the conv_out bias. Lets checkpoints of any size
+    (the reference 9-block .pth or a tools/train_cyclegan.py .npz) plug into
+    the frozen-generator slots without hard-coded hyperparams."""
+    ngf = int(params["conv_in"]["kernel"].shape[-1])
+    n_blocks = sum(1 for k in params if str(k).startswith("resblock"))
+    output_nc = int(params["conv_out"]["bias"].shape[-1])
+    return ResnetGenerator(output_nc=output_nc, ngf=ngf, n_blocks=n_blocks,
+                           norm=norm)
+
+
 def light_net():
     """3-block batch-norm 3ch generator (reference :619-621)."""
     return ResnetGenerator(output_nc=3, ngf=64, n_blocks=3, norm="batch")

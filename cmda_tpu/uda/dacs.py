@@ -32,7 +32,7 @@ from flax.core import FrozenDict
 
 from ..config import RunConfig
 from ..models.segmentor import FusionEncoderDecoder, EncoderDecoder
-from ..models.cyclegan import ResnetGenerator
+from ..models.cyclegan import ResnetGenerator, generator_from_params
 from ..ops.augment import (
     sample_class_half, class_mix_mask, one_mix, maybe_color_jitter_normalized,
     maybe_gaussian_blur, add_noise_on_isr,
@@ -104,6 +104,10 @@ class DACSTrainer:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
         self.tx = make_optimizer(params, self.cfg.optim)
+        if self.cyclegan is not None and cyclegan_params is not None:
+            # match the module to the checkpoint (9-block .pth or any-size
+            # native .npz) instead of hard-coding the flagship dims
+            self.cyclegan = generator_from_params(cyclegan_params)
         if self.cyclegan is not None and cyclegan_params is None:
             cyclegan_params = jax.jit(
                 lambda r: self.cyclegan.init(r, jnp.zeros((1, h, w, 1)))

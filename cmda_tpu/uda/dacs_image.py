@@ -16,7 +16,7 @@ from flax.core import FrozenDict
 
 from ..config import RunConfig
 from ..models.segmentor import EncoderDecoder
-from ..models.cyclegan import ResnetGenerator
+from ..models.cyclegan import ResnetGenerator, generator_from_params
 from ..ops.losses import weighted_cross_entropy, pixel_accuracy
 from ..train.optim import make_optimizer
 from .dacs import DACSTrainState
@@ -43,6 +43,8 @@ class DACSImageTrainer:
             variables = pretrained_variables
         params = variables["params"]
         self.tx = make_optimizer(params, self.cfg.optim)
+        if self.cyclegan is not None and cyclegan_params is not None:
+            self.cyclegan = generator_from_params(cyclegan_params)
         return DACSTrainState(
             step=jnp.zeros((), jnp.int32), params=params,
             batch_stats=variables.get("batch_stats", FrozenDict()),

@@ -21,7 +21,7 @@ from flax.core import FrozenDict
 
 from ..config import RunConfig
 from ..models.segmentor import EncoderDecoder
-from ..models.cyclegan import ResnetGenerator
+from ..models.cyclegan import ResnetGenerator, generator_from_params
 from ..ops.augment import (
     sample_class_half, class_mix_mask, one_mix, maybe_color_jitter_normalized,
     maybe_gaussian_blur,
@@ -56,6 +56,8 @@ class OrgDACSTrainer:
             variables = pretrained_variables
         params = variables["params"]
         self.tx = make_optimizer(params, self.cfg.optim)
+        if self.cyclegan is not None and cyclegan_params is not None:
+            self.cyclegan = generator_from_params(cyclegan_params)
         return DACSTrainState(
             step=jnp.zeros((), jnp.int32), params=params,
             batch_stats=variables.get("batch_stats", FrozenDict()),

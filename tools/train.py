@@ -343,13 +343,18 @@ def init_pretrained_state(trainer, cfg, args):
 
     cyclegan_params = None
     if args.cyclegan:
-        # the generator's OWN Sequential is named ``model.*``
-        # (cityscapes_ICD_to_dsec_EN.pth keys are model.<i>.weight,
-        # reference cyclegan_model.py:375) — only strip a DataParallel
-        # ``module.`` wrapper, never ``model.``
-        sd = TI.strip_prefix(TI.load_torch_file(args.cyclegan),
-                             prefixes=("module.",))
-        cyclegan_params = TI.convert_resnet_generator(sd)["params"]
+        if args.cyclegan.endswith(".npz"):
+            # native tools/train_cyclegan.py checkpoint (A->B generator)
+            from cmda_tpu.uda.cyclegan_train import load_generator_npz
+            cyclegan_params = load_generator_npz(args.cyclegan, "g_a")
+        else:
+            # the generator's OWN Sequential is named ``model.*``
+            # (cityscapes_ICD_to_dsec_EN.pth keys are model.<i>.weight,
+            # reference cyclegan_model.py:375) — only strip a DataParallel
+            # ``module.`` wrapper, never ``model.``
+            sd = TI.strip_prefix(TI.load_torch_file(args.cyclegan),
+                                 prefixes=("module.",))
+            cyclegan_params = TI.convert_resnet_generator(sd)["params"]
     depths = tuple(MIT_VARIANTS[cfg.model.backbone].depths)
     imnet_params = None
     imnet_src = args.imnet or (args.pretrained_backbone
