@@ -291,6 +291,57 @@ def _convert_mit_block(sd, t):
     }
 
 
+def mmseg_mit_to_nvlabs(sd: dict) -> dict:
+    """Inverse of the reference's ``mit_convert``
+    (mmseg/models/utils/ckpt_convert.py:8-52): an mmseg-v0.16-layout MiT
+    backbone state_dict (``layers.{s}.0.projection`` patch embeds, fused
+    ``attn.attn.in_proj_*`` q‖kv projections, conv-shaped ``ffn.layers``
+    MLPs) -> the NVlabs layout that ``convert_mit`` ingests. Covers
+    checkpoints from the official-mmseg lineage without a second full
+    converter."""
+    out = {}
+    for k, v in sd.items():
+        parts = k.split(".")
+        if parts[0] != "layers":
+            out[k] = v
+            continue
+        s = int(parts[1]) + 1
+        kind, rest = parts[2], parts[3:]
+        if kind == "0":    # patch embed: projection -> proj
+            key = ".".join(rest).replace("projection.", "proj.")
+            out[f"patch_embed{s}.{key}"] = v
+        elif kind == "2":  # stage norm
+            out[f"norm{s}." + ".".join(rest)] = v
+        else:              # transformer block
+            i, rest = rest[0], rest[1:]
+            t = f"block{s}.{i}"
+            key = ".".join(rest)
+            if key.startswith("attn.attn.in_proj_"):
+                # rows are [q (dim); kv (2*dim)] (mit_convert's torch.cat)
+                dim = v.shape[0] // 3
+                leaf = key[len("attn.attn.in_proj_"):]  # weight | bias
+                out[f"{t}.attn.q.{leaf}"] = v[:dim]
+                out[f"{t}.attn.kv.{leaf}"] = v[dim:]
+            elif key.startswith("attn.attn.out_proj."):
+                out[f"{t}.attn.proj." + key[len("attn.attn.out_proj."):]] = v
+            elif key.startswith("ffn.layers."):
+                j, leaf = key[len("ffn.layers."):].split(".", 1)
+                name = {"0": "fc1", "1": "dwconv.dwconv", "4": "fc2"}[j]
+                if name in ("fc1", "fc2") and leaf == "weight":
+                    v = v.reshape(v.shape[:2])  # (out,in,1,1) -> (out,in)
+                out[f"{t}.mlp.{name}.{leaf}"] = v
+            else:          # norm1/norm2/attn.sr/attn.norm pass through
+                out[f"{t}.{key}"] = v
+    return out
+
+
+def convert_mit_mmseg(sd: dict, depths=(3, 6, 40, 3)) -> dict:
+    """mmseg-v0.16-layout MiT backbone -> our stacked-scan flax params
+    (the repo-side equivalent of the reference's ckpt_convert.mit_convert,
+    pointed the useful direction)."""
+    return convert_mit(mmseg_mit_to_nvlabs(sd), depths)
+
+
 def convert_fusion_checkpoint(sd: dict, depths=(3, 6, 40, 3),
                               fusion: str = "attention_avg",
                               fusion_isr: str = "attention") -> dict:

@@ -497,3 +497,106 @@ def test_b5_reference_checkpoint_rehearsal(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     summary = json.loads(out[out.index("{"):])
     assert "mIoU" in summary and np.isfinite(summary["mIoU"])
+
+
+def _nvlabs_synth_sd(dims=(8, 16, 24, 32), depths=(2, 1, 1, 2),
+                     srs=(8, 4, 2, 1), seed=0):
+    """Random NVlabs-layout MiT backbone state_dict (numpy)."""
+    rng = np.random.RandomState(seed)
+    sd = {}
+
+    def add(key, *shape):
+        sd[key] = rng.randn(*shape).astype(np.float32)
+
+    for s in range(1, 5):
+        d = dims[s - 1]
+        cin = 3 if s == 1 else dims[s - 2]
+        k = 7 if s == 1 else 3
+        add(f"patch_embed{s}.proj.weight", d, cin, k, k)
+        add(f"patch_embed{s}.proj.bias", d)
+        add(f"patch_embed{s}.norm.weight", d)
+        add(f"patch_embed{s}.norm.bias", d)
+        add(f"norm{s}.weight", d)
+        add(f"norm{s}.bias", d)
+        for i in range(depths[s - 1]):
+            t = f"block{s}.{i}"
+            for n in ("norm1", "norm2"):
+                add(f"{t}.{n}.weight", d)
+                add(f"{t}.{n}.bias", d)
+            add(f"{t}.attn.q.weight", d, d)
+            add(f"{t}.attn.q.bias", d)
+            add(f"{t}.attn.kv.weight", 2 * d, d)
+            add(f"{t}.attn.kv.bias", 2 * d)
+            add(f"{t}.attn.proj.weight", d, d)
+            add(f"{t}.attn.proj.bias", d)
+            if srs[s - 1] > 1:
+                add(f"{t}.attn.sr.weight", d, d, srs[s - 1], srs[s - 1])
+                add(f"{t}.attn.sr.bias", d)
+                add(f"{t}.attn.norm.weight", d)
+                add(f"{t}.attn.norm.bias", d)
+            h = d * 4
+            add(f"{t}.mlp.fc1.weight", h, d)
+            add(f"{t}.mlp.fc1.bias", h)
+            add(f"{t}.mlp.dwconv.dwconv.weight", h, 1, 3, 3)
+            add(f"{t}.mlp.dwconv.dwconv.bias", h)
+            add(f"{t}.mlp.fc2.weight", d, h)
+            add(f"{t}.mlp.fc2.bias", d)
+    return sd
+
+
+def _mit_convert_oracle(sd):
+    """The reference's ckpt_convert.mit_convert key transformation
+    (mmseg/models/utils/ckpt_convert.py:8-52), numpy re-derivation: maps an
+    NVlabs MiT state_dict to the mmseg-v0.16 layout."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("head"):
+            continue
+        if k.startswith("patch_embed"):
+            s = int(k.split(".")[0][len("patch_embed"):])
+            nk = k.replace(f"patch_embed{s}", f"layers.{s-1}.0")
+            out[nk.replace("proj.", "projection.")] = v
+        elif k.startswith("block"):
+            s = int(k.split(".")[0][len("block"):])
+            nk = k.replace(f"block{s}", f"layers.{s-1}.1")
+            if "attn.q." in nk:
+                kv = sd[k.replace("q.", "kv.")]
+                out[nk.replace("q.", "attn.in_proj_")] = np.concatenate(
+                    [v, kv], axis=0)
+            elif "attn.kv." in nk:
+                continue
+            elif "attn.proj." in nk:
+                out[nk.replace("proj.", "attn.out_proj.")] = v
+            elif "mlp." in nk:
+                nk = nk.replace("mlp.", "ffn.layers.")
+                if "fc1.weight" in nk or "fc2.weight" in nk:
+                    v = v.reshape((*v.shape, 1, 1))
+                nk = nk.replace("fc1.", "0.").replace(
+                    "dwconv.dwconv.", "1.").replace("fc2.", "4.")
+                out[nk] = v
+            else:
+                out[nk] = v
+        elif k.startswith("norm"):
+            s = int(k.split(".")[0][len("norm"):])
+            out[k.replace(f"norm{s}", f"layers.{s-1}.2")] = v
+        else:
+            out[k] = v
+    return out
+
+
+def test_mmseg_layout_mit_import_matches_nvlabs():
+    # official-mmseg-lineage checkpoints (reference ckpt_convert.mit_convert
+    # output layout) must convert to the identical flax param tree as the
+    # NVlabs original they were derived from
+    from cmda_tpu.utils.torch_import import convert_mit_mmseg
+    depths = (2, 1, 1, 2)
+    nv = _nvlabs_synth_sd(depths=depths)
+    mm = _mit_convert_oracle(nv)
+    assert not any(k.startswith(("block", "patch_embed")) for k in mm)
+    ours_nv = convert_mit(nv, depths)
+    ours_mm = convert_mit_mmseg(mm, depths)
+    la, lb = jax.tree.leaves(ours_nv), jax.tree.leaves(ours_mm)
+    assert len(la) == len(lb)
+    assert jax.tree.structure(ours_nv) == jax.tree.structure(ours_mm)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(a, b)
