@@ -34,6 +34,38 @@ class IsrParams:
         return IsrParams((v[0], v[1]), v[2], v[3], int(v[4]))
 
 
+# Reference per-domain ISR default tables keyed by *_isr_data_type —
+# 'day'/'night' for raw frames, 'new_day'/'new_night' for CycleGAN
+# style-transferred frames (reference cityscapes_ic.py:100-116,
+# dark_zurich_ic.py:110-127).  The published configs override the single
+# entries with explicit isr_parms, so these matter when a launcher selects
+# the 'new_*' variants or shift_3_channel.
+CS_ISR_PRESETS = {
+    "day": IsrParams((1.0, 10.0), 0.03, 0.2, 3),
+    "new_day": IsrParams((1e-5, 255 + 1e-5), 0.0, 0.040, 3),
+}
+CS_ISR_PRESETS_3 = {
+    "day": (IsrParams((1.0, 10.0), 0.025, 0.05, 1),
+            IsrParams((1.0, 10.0), 0.030, 0.20, 3),
+            IsrParams((1.0, 10.0), 0.040, 0.32, 5)),
+    "new_day": (IsrParams((1e-5, 255 + 1e-5), 0.0, 0.015, 1),
+                IsrParams((1e-5, 255 + 1e-5), 0.0, 0.040, 3),
+                IsrParams((1e-5, 255 + 1e-5), 0.0, 0.070, 5)),
+}
+DZ_ISR_PRESETS = {
+    "night": IsrParams((1.0, 100.0), 0.04, 0.2, 3),
+    "new_night": IsrParams((500.0, 1000.0), 0.02, 0.12, 3),
+}
+DZ_ISR_PRESETS_3 = {
+    "night": (IsrParams((9.0, 255 + 9.0), 0.012, 0.04, 1),
+              IsrParams((9.0, 255 + 9.0), 0.012, 0.12, 3),
+              IsrParams((9.0, 255 + 9.0), 0.012, 0.20, 5)),
+    "new_night": (IsrParams((500.0, 1000.0), 0.015, 0.05, 1),
+                  IsrParams((500.0, 1000.0), 0.020, 0.12, 3),
+                  IsrParams((500.0, 1000.0), 0.025, 0.20, 5)),
+}
+
+
 @dataclass(frozen=True)
 class UDAConfig:
     """DACS self-training hyperparameters
@@ -68,6 +100,17 @@ class UDAConfig:
     isr_no_fusion: bool = False               # no fusion stream when ISR picked
     isr_edge: bool = False                    # raw-isr_no-fusion edge labels
     lambda_isr_features: float = 1.0
+    # 2-class weight [1-w, w] on the edge-stream CE when isr_edge; -1 = off.
+    # The reference sets this on the SHARED loss (dacs.py:142-146), which
+    # would crash its 19-class image stream — here it applies to the edge
+    # stream only (the evident intent).
+    isr_edge_class_weight: float = -1.0
+    # jitter+blur the class-mixed ISR in the (x+1)/2 domain
+    # (reference dacs.py:757-758 isr_flag -> dacs_transforms.py:11-35)
+    isr_mix_aug: bool = False
+    # validated but functionally dead in the reference: its consuming
+    # branch is commented out (dacs.py:684-699); only asserts remain
+    img_self_res_reg: str = "no"              # no|only_isr|mixed|average
     fuse_both_ice_and_e: bool = False
     without_events: bool = False
     without_isd: bool = False
@@ -126,6 +169,17 @@ class DataConfig:
     # source ISR params (on-the-fly from the crop)
     source_isr: IsrParams = field(default_factory=IsrParams)
     target_isr: IsrParams = field(default_factory=IsrParams)
+    # shift_3_channel per-dataset parameter triplets (reference
+    # cityscapes_ic.py:100-111, dark_zurich_ic.py:110-122)
+    source_isr_3: tuple[IsrParams, ...] = CS_ISR_PRESETS_3["day"]
+    target_isr_3: tuple[IsrParams, ...] = DZ_ISR_PRESETS_3["night"]
+    # 'day'|'new_day' / 'night'|'new_night' preset selectors (launcher
+    # --cs_isr_data_type/--dz_isr_data_type); resolved in tools/train.py
+    cs_isr_data_type: str = "day"
+    dz_isr_data_type: str = "night"
+    # reference --dz_auto_threshold: forwarded to get_image_change_from_pil,
+    # which raises 'auto_threshold function not implement' (utils.py:124-125)
+    dz_auto_threshold: bool = False
     shift_type: str = "random"
     workers: int = 4
     # source ISR augmentations (reference cityscapes_ic.py:243-336)

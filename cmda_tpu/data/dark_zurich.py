@@ -31,7 +31,15 @@ class DarkZurichDataset:
     def __init__(self, root: str, *, split: str = "train",
                  image_resize_size=(960, 540), image_crop_size=(512, 512),
                  isr_params=None, shift_type: str = "rightdown",
-                 outputs=("image", "isr"), with_day_pair: bool = False):
+                 outputs=("image", "isr"), with_day_pair: bool = False,
+                 shift_3_channel: bool = False, auto_threshold: bool = False):
+        if auto_threshold:
+            # faithful to the reference: dark_zurich_ic.py:194,229 forwards
+            # (pil, 'image_gray') into get_image_change_from_pil, which
+            # raises 'auto_threshold function not implement！' (utils.py:124)
+            raise NotImplementedError(
+                "auto_threshold is unimplemented in the reference "
+                "(mmseg/datasets/utils.py:124-125) and is not supported")
         self.root = root
         self.split = split
         self.resize = image_resize_size
@@ -39,9 +47,22 @@ class DarkZurichDataset:
         self.outputs = set(outputs)
         self.shift_type = shift_type
         self.with_day_pair = with_day_pair
-        p = isr_params
-        self.isr_kw = dict(val_range=p.val_range, threshold=p.threshold,
-                           clip_range=p.clip_range, shift_pixel=p.shift_pixel)
+        self.shift_3_channel = shift_3_channel
+
+        def kw(p):
+            return dict(val_range=p.val_range, threshold=p.threshold,
+                        clip_range=p.clip_range, shift_pixel=p.shift_pixel)
+
+        if shift_3_channel:
+            # per-channel parameter rows, fixed rightdown direction
+            # (reference dark_zurich_ic.py:232-240; the deflare+3ch combo
+            # is broken in the reference — :195-200 splats the row list —
+            # so it is rejected here)
+            assert isinstance(isr_params, (list, tuple)) and len(isr_params) == 3
+            assert "isr_deflare" not in self.outputs
+            self.isr_kw = [kw(p) for p in isr_params]
+        else:
+            self.isr_kw = kw(isr_params)
         self.files = []
         base = os.path.join(root, "rgb_anon", split, "night")
         if os.path.isdir(base):
@@ -87,16 +108,22 @@ class DarkZurichDataset:
             out["image"] = normalize_image(img)
 
         if "isr" in self.outputs:
-            direction = (pick_shift_direction(self.shift_type, x, y)
-                         if not test_mode else
-                         pick_shift_direction(self.shift_type, 0, 0))
-            isr = host_image_change(img_pil, shift_direction=direction,
-                                    **self.isr_kw)
+            if self.shift_3_channel:
+                isr = np.stack([
+                    host_image_change(img_pil, shift_direction="rightdown",
+                                      **kw) for kw in self.isr_kw], axis=-1)
+            else:
+                direction = (pick_shift_direction(self.shift_type, x, y)
+                             if not test_mode else
+                             pick_shift_direction(self.shift_type, 0, 0))
+                isr = host_image_change(img_pil, shift_direction=direction,
+                                        **self.isr_kw)
             if not test_mode:
                 isr = isr[y: y + self.crop[1], x: x + self.crop[0]]
                 if flip:
                     isr = np.ascontiguousarray(isr[:, ::-1])
-            out["isr"] = np.repeat(isr[..., None], 3, axis=-1)
+            out["isr"] = (isr if isr.ndim == 3
+                          else np.repeat(isr[..., None], 3, axis=-1))
 
         if "label" in self.outputs:
             lbl_pil = Image.open(self._label_path(path))

@@ -72,6 +72,15 @@ class DACSTrainer:
 
     def __init__(self, cfg: RunConfig):
         self.cfg = cfg
+        # membership check mirrors reference dacs.py:88-90; the value is
+        # otherwise functionally dead there (its consuming branch is
+        # commented out, dacs.py:684-699) and here
+        assert cfg.uda.img_self_res_reg in {"no", "only_isr", "mixed",
+                                            "average"}, cfg.uda.img_self_res_reg
+        # edge labels (and their 2-class weight) only exist on the
+        # no-fusion ISR decoder (reference dacs.py:136-139)
+        if cfg.uda.isr_edge:
+            assert cfg.model.train_type == "cs2dz_image+raw-isr_no-fusion"
         dtype = _dtype(cfg.dtype)
         self.model = FusionEncoderDecoder(cfg.model, dtype=dtype)
         self.cyclegan = (ResnetGenerator(output_nc=1, n_blocks=9)
@@ -414,6 +423,16 @@ class DACSTrainer:
                 mixed_isr = jnp.repeat(noisy, mixed_isr.shape[-1], axis=-1)
         else:
             mixed_isr = one_mix(masks, day_isr, night_isr)
+            if u.isr_mix_aug:
+                # isr_flag in the reference's strong_transform
+                # (dacs.py:757-758, dacs_transforms.py:11-35): the mixed ISR
+                # gets the same jitter draw + blur as the mixed image, in
+                # the (x+1)/2 domain (mean = std = 127.5)
+                isr_ms = jnp.full((3,), 127.5, jnp.float32)
+                mixed_isr = maybe_color_jitter_normalized(
+                    k_jit, mixed_isr, apply_jitter, u.color_jitter_strength,
+                    mean=isr_ms, std=isr_ms)
+                mixed_isr = maybe_gaussian_blur(mixed_isr, sigma, apply_blur)
 
         return state, dict(
             train_type=train_type, has_events=has_events,
@@ -477,10 +496,18 @@ class DACSTrainer:
                 rngs=rngs, method=self.model.forward_train)
             return logits, feats, updates["batch_stats"]
 
+        # isr_edge_class_weight: [1-w, w] on the 2-class edge stream
+        # (reference dacs.py:142-146; see split_stream_loss docstring)
+        edge_cw = None
+        if u.isr_edge and 0.0 <= u.isr_edge_class_weight <= 1.0:
+            edge_cw = jnp.asarray([1.0 - u.isr_edge_class_weight,
+                                   u.isr_edge_class_weight], jnp.float32)
+
         def stream_losses(logits, labels, seg_weights, factor):
             return split_stream_loss(
                 logits, labels, seg_weights, w_image=weights["w_image"],
-                w_events=weights["w_events"], factor=factor)
+                w_events=weights["w_events"], factor=factor,
+                events_class_weight=edge_cw)
 
         # The source and mixed losses are differentiated SEPARATELY and the
         # gradients summed — same math as one total loss, but the two

@@ -116,21 +116,28 @@ def seg_label_to_edge_label(label, ignore_index: int = 255):
 
 def split_stream_loss(logits: dict, labels: dict, weights: dict, *,
                       w_image: float, w_events: float, factor: float = 2.0,
-                      ignore_index: int = 255):
+                      ignore_index: int = 255, events_class_weight=None):
     """Two-stream loss with per-stream labels/weights.
 
     factor=2: cs2dz_image+raw-isr_split (decode_head.py:501-507, each term
     scaled x2); factor=1: the no-fusion/d2n dict-label path
-    (decode_head.py:494-523 with fusion_output None)."""
+    (decode_head.py:494-523 with fusion_output None).
+
+    ``events_class_weight``: per-class CE weights for the events stream
+    only — the isr_edge_class_weight [1-w, w] edge/no-edge reweighting
+    (reference dacs.py:142-146; there it is set on the shared loss, which
+    would break the 19-class image stream, so it is scoped here)."""
     size = labels["image"].shape[1:3]
 
     @jax.checkpoint
-    def ce(x, lbl, w):
+    def ce(x, lbl, w, cw=None):
         return weighted_cross_entropy(resize_bilinear(x, size), lbl, w,
-                                      ignore_index=ignore_index)
+                                      ignore_index=ignore_index,
+                                      class_weight=cw)
 
     l_img = ce(logits["image_output"], labels["image"], weights.get("image"))
-    l_ev = ce(logits["events_output"], labels["events"], weights.get("events"))
+    l_ev = ce(logits["events_output"], labels["events"], weights.get("events"),
+              events_class_weight)
     loss = l_img * w_image * factor + l_ev * w_events * factor
     logs = {"loss_image": l_img, "loss_events": l_ev, "loss_seg": loss,
             "acc_seg": pixel_accuracy(

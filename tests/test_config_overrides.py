@@ -84,6 +84,41 @@ def test_ablation_flags_map_to_config():
     assert cfg.data.target_crop_size == (440, 440)
 
 
+def test_isr_variant_flags_map_to_config():
+    """isr_edge lambda / edge class weight / isr_mix_aug / data-type preset
+    selectors (reference my_run_experiments.py:285-330)."""
+    train_cli, args = _args([
+        "--isr_edge", "0.75", "--isr_edge_class_weight", "0.9",
+        "--isr_mix_aug", "--img_self_res_reg", "no",
+        "--cs_isr_data_type", "new_day", "--dz_isr_data_type", "new_night",
+    ])
+    cfg = C.cs2dz_image_rawisr_b5()
+    for path, val in train_cli.ablation_overrides(args):
+        cfg = C.set_by_path(cfg, path, val)
+    assert cfg.uda.isr_edge is True
+    assert cfg.uda.lambda_isr_features == 0.75
+    assert cfg.uda.isr_edge_class_weight == 0.9
+    assert cfg.uda.isr_mix_aug is True
+    # 'new_*' selectors swap in the reference default tables
+    # (cityscapes_ic.py:106-116, dark_zurich_ic.py:117-127)
+    assert cfg.data.source_isr == C.IsrParams((1e-5, 255 + 1e-5), 0.0, 0.040, 3)
+    assert cfg.data.target_isr == C.IsrParams((500.0, 1000.0), 0.02, 0.12, 3)
+    assert cfg.data.source_isr_3 == C.CS_ISR_PRESETS_3["new_day"]
+    assert cfg.data.target_isr_3 == C.DZ_ISR_PRESETS_3["new_night"]
+    # default tables match the reference 'day'/'night' rows
+    assert C.CS_ISR_PRESETS["day"] == C.IsrParams((1.0, 10.0), 0.03, 0.2, 3)
+    assert C.DZ_ISR_PRESETS["night"] == C.IsrParams((1.0, 100.0), 0.04, 0.2, 3)
+
+
+def test_img_self_res_reg_validated():
+    """Membership check mirrors reference dacs.py:88-90."""
+    from cmda_tpu.uda.dacs import DACSTrainer
+    cfg = C.tiny_test_config()
+    bad = C.replace(cfg, uda=C.replace(cfg.uda, img_self_res_reg="bogus"))
+    with pytest.raises(AssertionError):
+        DACSTrainer(bad)
+
+
 def test_dsec_fixed_clip_override(tmp_path):
     """events_clip_range=(lo,hi) replaces the adaptive rule
     (reference dsec.py:359-362)."""

@@ -36,7 +36,7 @@ def test_split_type_step():
 
 def test_nofusion_edge_type_step():
     cfg = cz_cfg("cs2dz_image+raw-isr_no-fusion", isr_edge=True,
-                 lambda_isr_features=1.0)
+                 lambda_isr_features=1.0, isr_edge_class_weight=0.9)
     trainer = DACSTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
     new_state, logs = trainer.train_step(state, synth_batch(1, with_events=False),
@@ -173,6 +173,29 @@ def test_debug_tensors_snapshot():
         assert k in dbg, k
     assert dbg["mixed_img"].shape == dbg["day_image"].shape
     assert dbg["masks"].dtype == jnp.bool_ or dbg["masks"].dtype == np.bool_
+
+
+def test_isr_mix_aug_transforms_mixed_isr():
+    """isr_mix_aug: the class-mixed ISR gets the image jitter draw in the
+    (x+1)/2 domain (reference dacs.py:757-758, dacs_transforms.py:11-35);
+    off = plain one_mix. Same rng -> same masks, only the aug differs."""
+    base = cz_cfg("cs2dz_image+raw-isr_split", mixed_image_to_mixed_isr=False,
+                  color_jitter_probability=0.0, blur=False)
+    batch = synth_batch(11, with_events=False)
+    with jax.disable_jit():
+        t_off = DACSTrainer(base)
+        s_off = t_off.init_state(jax.random.PRNGKey(0))
+        off = t_off.debug_tensors(s_off, batch, jax.random.PRNGKey(5))
+        t_on = DACSTrainer(replace(base, uda=replace(base.uda,
+                                                     isr_mix_aug=True)))
+        s_on = t_on.init_state(jax.random.PRNGKey(0))
+        on = t_on.debug_tensors(s_on, batch, jax.random.PRNGKey(5))
+    assert np.array_equal(np.asarray(off["masks"]), np.asarray(on["masks"]))
+    assert not np.allclose(np.asarray(off["mixed_isr"]),
+                           np.asarray(on["mixed_isr"]))
+    # jitter in the (x+1)/2 domain keeps the ISR in a sane range
+    assert np.asarray(on["mixed_isr"]).min() >= -1.5
+    assert np.asarray(on["mixed_isr"]).max() <= 1.5
 
 
 def test_dacs_image_trainer():

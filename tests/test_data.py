@@ -202,6 +202,28 @@ def test_darkzurich_train_and_val(darkzurich_root):
     assert v["label"].shape == (540, 960)
 
 
+def test_darkzurich_shift_3_channel(darkzurich_root):
+    """3-channel multi-scale night ISR: one channel per parameter row,
+    fixed rightdown direction (reference dark_zurich_ic.py:232-240)."""
+    from cmda_tpu.config import DZ_ISR_PRESETS_3
+    rows = DZ_ISR_PRESETS_3["night"]
+    tr = DarkZurichDataset(darkzurich_root, split="train", isr_params=rows,
+                           shift_3_channel=True, outputs=("image", "isr"))
+    s = tr[0]
+    assert s["isr"].shape == (512, 512, 3)
+    # different shift_pixel / clip per channel -> distinct channels
+    assert not np.allclose(s["isr"][..., 0], s["isr"][..., 2])
+    # each channel equals a single-row dataset's ISR contract
+    assert s["isr"].min() >= -1.0 and s["isr"].max() <= 1.0
+
+
+def test_darkzurich_auto_threshold_rejected(darkzurich_root):
+    """auto_threshold raises in the reference itself (utils.py:124-125)."""
+    with pytest.raises(NotImplementedError):
+        DarkZurichDataset(darkzurich_root, split="train",
+                          isr_params=IsrParams(), auto_threshold=True)
+
+
 # ---------------- RCS + pairing + loader ----------------
 
 def test_rcs_class_probs():

@@ -42,6 +42,35 @@ def test_ce_weighted():
     assert abs(ours - torch_ce(logits, labels, weight)) < 1e-5
 
 
+def test_split_stream_loss_edge_class_weight():
+    """events_class_weight [1-w, w] reweights the 2-class edge stream only
+    (isr_edge_class_weight, reference dacs.py:142-146) with torch
+    F.cross_entropy(weight=...) normalization semantics."""
+    from cmda_tpu.uda.transforms import split_stream_loss
+    rng = np.random.default_rng(3)
+    b, h, w = 2, 8, 8
+    img_logits = rng.normal(size=(b, h, w, 19)).astype(np.float32)
+    edge_logits = rng.normal(size=(b, h, w, 2)).astype(np.float32)
+    img_lbl = rng.integers(0, 19, size=(b, h, w)).astype(np.int32)
+    edge_lbl = rng.integers(0, 2, size=(b, h, w)).astype(np.int32)
+    cw = [0.1, 0.9]
+    loss, logs = split_stream_loss(
+        {"image_output": jnp.asarray(img_logits),
+         "events_output": jnp.asarray(edge_logits)},
+        {"image": jnp.asarray(img_lbl), "events": jnp.asarray(edge_lbl)},
+        {}, w_image=0.7, w_events=0.7, factor=1.0,
+        events_class_weight=jnp.asarray(cw, jnp.float32))
+    l_ev_oracle = F.cross_entropy(
+        torch.as_tensor(edge_logits).permute(0, 3, 1, 2),
+        torch.as_tensor(edge_lbl).long(),
+        weight=torch.tensor(cw)).item()
+    assert abs(float(logs["loss_events"]) - l_ev_oracle) < 1e-5
+    # the 19-class image stream is untouched by the 2-class weight
+    assert abs(float(logs["loss_image"]) - torch_ce(img_logits, img_lbl)) < 1e-5
+    assert abs(float(loss)
+               - 0.7 * (float(logs["loss_image"]) + l_ev_oracle)) < 1e-5
+
+
 def test_accuracy_matches_mmseg_denominator():
     logits, labels, _ = make_batch(seed=2)
     pred = torch.as_tensor(logits).permute(0, 3, 1, 2)

@@ -120,8 +120,12 @@ def main():
         split = "test" if args.submit_to_website else "val"
         outputs = ("image", "isr") if args.submit_to_website else \
             ("image", "isr", "label")
+        target_isr = (cfg.data.target_isr if not cfg.data.shift_3_channel
+                      else cfg.data.target_isr_3)
         dataset = DarkZurichDataset(args.target_root, split=split,
-                                    isr_params=cfg.data.target_isr,
+                                    isr_params=target_isr,
+                                    shift_3_channel=cfg.data.shift_3_channel,
+                                    auto_threshold=cfg.data.dz_auto_threshold,
                                     outputs=outputs)
 
     if args.submit_to_website:

@@ -99,7 +99,31 @@ def add_ablation_flags(p):
                    metavar="FLARE_DIR", help="lens-flare PNG dir")
     g.add_argument("--sky_mask", action="store_true")
     g.add_argument("--deflare_aug", action="store_true")
-    g.add_argument("--isr_edge", action="store_true")
+    g.add_argument("--isr_edge", type=float, default=-1,
+                   help="edge-label the ISR stream; the value is "
+                        "lambda_isr_features (reference "
+                        "my_run_experiments.py:320-322)")
+    g.add_argument("--isr_edge_class_weight", type=float, default=-1,
+                   help="edge-class CE weight w -> [1-w, w] "
+                        "(reference my_run_experiments.py:327-330)")
+    g.add_argument("--isr_mix_aug", action="store_true",
+                   help="jitter+blur the class-mixed ISR "
+                        "(reference my_run_experiments.py:285-288)")
+    g.add_argument("--img_self_res_reg", default="",
+                   choices=["", "no", "only_isr", "mixed", "average"],
+                   help="validated but functionally dead in the reference "
+                        "(dacs.py:684-699 is commented out)")
+    g.add_argument("--cs_isr_data_type", default="",
+                   choices=["", "day", "new_day"],
+                   help="source ISR default-table selector "
+                        "(reference cityscapes_ic.py:100-116)")
+    g.add_argument("--dz_isr_data_type", default="",
+                   choices=["", "night", "new_night"],
+                   help="target ISR default-table selector "
+                        "(reference dark_zurich_ic.py:110-127)")
+    g.add_argument("--dz_auto_threshold", action="store_true",
+                   help="unimplemented in the reference (raises in "
+                        "utils.py:124-125); rejected at dataset build")
     g.add_argument("--shift_3_channel", action="store_true")
     g.add_argument("--share_decoder", action="store_true")
     g.add_argument("--half_share_decoder", action="store_true")
@@ -136,6 +160,7 @@ _FUSION_NAMES = {"caf": "convert_avg", "af": "average",
 
 def ablation_overrides(args):
     """Translate the named reference flags into dotted overrides."""
+    from cmda_tpu import config as C
     ov = []
 
     def add(path, val):
@@ -188,8 +213,26 @@ def ablation_overrides(args):
         add("data.sky_mask", True)
     if args.deflare_aug:
         add("uda.deflare_aug", True)
-    if args.isr_edge:
+    if args.isr_edge != -1:
         add("uda.isr_edge", True)
+        add("uda.lambda_isr_features", args.isr_edge)
+    if args.isr_edge_class_weight != -1:
+        assert 0 <= args.isr_edge_class_weight <= 1
+        add("uda.isr_edge_class_weight", args.isr_edge_class_weight)
+    if args.isr_mix_aug:
+        add("uda.isr_mix_aug", True)
+    if args.img_self_res_reg:
+        add("uda.img_self_res_reg", args.img_self_res_reg)
+    if args.cs_isr_data_type:
+        add("data.cs_isr_data_type", args.cs_isr_data_type)
+        add("data.source_isr", C.CS_ISR_PRESETS[args.cs_isr_data_type])
+        add("data.source_isr_3", C.CS_ISR_PRESETS_3[args.cs_isr_data_type])
+    if args.dz_isr_data_type:
+        add("data.dz_isr_data_type", args.dz_isr_data_type)
+        add("data.target_isr", C.DZ_ISR_PRESETS[args.dz_isr_data_type])
+        add("data.target_isr_3", C.DZ_ISR_PRESETS_3[args.dz_isr_data_type])
+    if args.dz_auto_threshold:
+        add("data.dz_auto_threshold", True)
     if args.shift_3_channel:
         add("uda.shift_3_channel", True)
         add("data.shift_3_channel", True)
@@ -280,7 +323,7 @@ def build_datasets(cfg, args):
     from cmda_tpu.data.cityscapes_ic import CityscapesICDataset
     d = cfg.data
     source_isr = (d.source_isr if not d.shift_3_channel
-                  else cfg.uda.isr_params_3)
+                  else d.source_isr_3)
     src = CityscapesICDataset(
         d.source_root, isr_params=source_isr,
         image_crop_size=d.crop_size,
@@ -310,12 +353,18 @@ def build_datasets(cfg, args):
                if args.val_txt else None)
     else:
         from cmda_tpu.data.dark_zurich import DarkZurichDataset
+        target_isr = (d.target_isr if not d.shift_3_channel
+                      else d.target_isr_3)
         tgt = DarkZurichDataset(cfg.data.target_root, split="train",
-                                isr_params=cfg.data.target_isr,
+                                isr_params=target_isr,
                                 image_crop_size=d.crop_size,
-                                shift_type=cfg.data.shift_type)
+                                shift_type=cfg.data.shift_type,
+                                shift_3_channel=d.shift_3_channel,
+                                auto_threshold=d.dz_auto_threshold)
         val = DarkZurichDataset(cfg.data.target_root, split="val",
-                                isr_params=cfg.data.target_isr,
+                                isr_params=target_isr,
+                                shift_3_channel=d.shift_3_channel,
+                                auto_threshold=d.dz_auto_threshold,
                                 outputs=("image", "isr", "label"))
     rcs_kwargs = {}
     if cfg.data.rcs_enabled and args.rcs_json_dir:
