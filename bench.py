@@ -46,12 +46,15 @@ def enable_compile_cache():
 
 def run(batch_size: int, steps: int = 10, warmup: int = 3,
         remat: str = "block", moments: str = "float32",
-        head_batched: bool = False):
+        head_batched: bool = False, fused_resize: bool = False):
     import sys
     import jax
     import jax.numpy as jnp
     from cmda_tpu.config import cs2dsec_image_events_b5, replace
+    from cmda_tpu.ops.resize import set_fused_int_upsample
     from cmda_tpu.uda.dacs import DACSTrainer
+
+    set_fused_int_upsample(fused_resize)
 
     cfg = cs2dsec_image_events_b5()
     cfg = replace(cfg, dtype="bfloat16",
@@ -120,6 +123,10 @@ def main():
     ap.add_argument("--head-batched", action="store_true",
                     help="batched multi-stream head in the TRAIN path "
                          "(model.head_batched_train)")
+    ap.add_argument("--fused-resize", action="store_true",
+                    help="phase-decomposed integer-factor upsamples "
+                         "(-2 GB temp HBM, -6%% time at batch 8 — for "
+                         "HBM-bound configs; docs/PERF.md)")
     args = ap.parse_args()
 
     enable_compile_cache()
@@ -133,7 +140,8 @@ def main():
             try:
                 sps, stats = run(bs, steps=args.steps, remat=args.remat,
                  moments=args.moments,
-                 head_batched=args.head_batched)
+                 head_batched=args.head_batched,
+                 fused_resize=args.fused_resize)
                 batch_size = bs
                 break
             except Exception as e:

@@ -17,6 +17,28 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Opt-in perf lever (docs/PERF.md "fused-resize experiment"): route
+# integer-factor bilinear UPSAMPLES through the fixed-phase elementwise
+# form instead of jax.image.resize's dot_generals.  Numerically equivalent
+# (same two-tap weights; tested to float roundoff in
+# tests/test_resize_augment.py) but lowers to VPU adds that XLA fuses into
+# adjacent consumers, so the [B,H,W,C] upsampled result never materializes
+# in HBM (-2 GB temp at the flagship batch-8 step).  MEASURED SLOWER on the
+# time-bound v5e batch-8 config (-6%: the MXU eats the resize matmuls
+# faster than the VPU runs the fused 512^2x19 chains) — enable only when a
+# config is HBM-bound (larger batch / bigger part / co-resident eval).
+_FUSED_INT_UPSAMPLE = False
+
+
+def set_fused_int_upsample(enabled: bool) -> None:
+    """Toggle the phase-decomposed integer-factor upsample path globally.
+
+    Call before tracing/jitting (the flag is read at trace time).  Wired to
+    ``bench.py --fused-resize`` and ``tools/train.py --fused-resize``.
+    """
+    global _FUSED_INT_UPSAMPLE
+    _FUSED_INT_UPSAMPLE = bool(enabled)
+
 
 def resize_bilinear(x: jax.Array, size: tuple[int, int], align_corners: bool = False) -> jax.Array:
     """Bilinear resize of NHWC (or HWC / NHW) to spatial ``size`` (H, W)."""
@@ -30,10 +52,70 @@ def resize_bilinear(x: jax.Array, size: tuple[int, int], align_corners: bool = F
         raise ValueError(f"expected 3D/4D input, got {x.shape}")
     if x.shape[1] == size[0] and x.shape[2] == size[1]:
         return x
+    if (_FUSED_INT_UPSAMPLE and x.ndim == 4
+            and size[0] % x.shape[1] == 0 and size[1] % x.shape[2] == 0):
+        return phase_upsample_bilinear(x, size)
     orig_dtype = x.dtype
     # antialias=False: torch F.interpolate does not low-pass when minifying
     y = jax.image.resize(x.astype(jnp.float32), out_shape, method="linear",
                          antialias=False)
+    return y.astype(orig_dtype)
+
+
+def _phase_upsample_axis(x: jax.Array, axis: int, factor: int) -> jax.Array:
+    """Integer-factor half-pixel bilinear upsample along one axis.
+
+    Every output pixel ``o = factor*i + p`` samples the input at
+    ``u = i + (p + 0.5)/factor - 0.5`` (the align_corners=False grid of
+    torch F.interpolate / jax.image.resize), i.e. a fixed two-tap blend of
+    ``x[i]`` with its clamped left or right neighbour whose weights depend
+    only on the phase ``p``.  Expressed as shifted-copy weighted adds —
+    pure VPU elementwise work that XLA fuses into whatever consumes the
+    result (e.g. the loss softmax), unlike jax.image.resize's dot_general
+    whose output must materialize.
+    """
+    n = x.shape[axis]
+    xf = x.astype(jnp.float32)
+    # clamped neighbours (edge replication == coordinate clamping)
+    first = jax.lax.slice_in_dim(xf, 0, 1, axis=axis)
+    last = jax.lax.slice_in_dim(xf, n - 1, n, axis=axis)
+    prev = jnp.concatenate(
+        [first, jax.lax.slice_in_dim(xf, 0, n - 1, axis=axis)], axis=axis)
+    nxt = jnp.concatenate(
+        [jax.lax.slice_in_dim(xf, 1, n, axis=axis), last], axis=axis)
+    # phase offsets d_p in (-0.5, 0.5); weights on (prev, self, next)
+    d = (jnp.arange(factor, dtype=jnp.float32) + 0.5) / factor - 0.5
+    w_prev = jnp.maximum(-d, 0.0)
+    w_next = jnp.maximum(d, 0.0)
+    w_self = 1.0 - w_prev - w_next
+    # broadcast weights into a new phase dim right after `axis`
+    shape = [1] * (x.ndim + 1)
+    shape[axis + 1] = factor
+    w_prev, w_self, w_next = (w.reshape(shape)
+                              for w in (w_prev, w_self, w_next))
+    y = (w_prev * jnp.expand_dims(prev, axis + 1)
+         + w_self * jnp.expand_dims(xf, axis + 1)
+         + w_next * jnp.expand_dims(nxt, axis + 1))
+    out_shape = list(x.shape)
+    out_shape[axis] = n * factor
+    return y.reshape(out_shape)
+
+
+def phase_upsample_bilinear(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """NHWC integer-factor bilinear upsample (align_corners=False) as
+    fixed-phase weighted adds.  Matches ``resize_bilinear`` to float
+    roundoff in both values and gradients (tests/test_resize_augment.py);
+    see docs/PERF.md for when this form wins (HBM-bound) and loses
+    (time-bound)."""
+    fh, fw = size[0] // x.shape[1], size[1] // x.shape[2]
+    if fh * x.shape[1] != size[0] or fw * x.shape[2] != size[1]:
+        raise ValueError(f"{x.shape} -> {size} is not an integer upsample")
+    orig_dtype = x.dtype
+    y = x
+    if fh > 1:
+        y = _phase_upsample_axis(y, 1, fh)
+    if fw > 1:
+        y = _phase_upsample_axis(y, 2, fw)
     return y.astype(orig_dtype)
 
 

@@ -173,3 +173,48 @@ def test_cow_masks_proportions():
     assert masks.shape == (4, 64, 64)
     props = np.asarray(jnp.mean(masks.astype(jnp.float32), axis=(1, 2)))
     assert np.all(props > 0.02) and np.all(props < 1.0)
+
+
+def test_phase_upsample_matches_resize_values_and_grads():
+    # the fixed-phase elementwise upsample (docs/PERF.md fused-resize
+    # lever) must match jax.image.resize-backed resize_bilinear to float
+    # roundoff, values AND gradients, incl. anisotropic factors
+    from cmda_tpu.ops.resize import phase_upsample_bilinear
+    rng = np.random.default_rng(3)
+    for shape, size in [((2, 8, 8, 5), (32, 32)),   # x4 (the loss path)
+                        ((1, 7, 5, 3), (14, 20)),   # x2 / x4 anisotropic
+                        ((2, 4, 6, 2), (4, 18)),    # H identity, W x3
+                        ((1, 3, 3, 1), (9, 9))]:    # odd factor
+        x = rng.normal(size=shape).astype(np.float32)
+        ref = np.asarray(resize_bilinear(jnp.asarray(x), size))
+        got = np.asarray(phase_upsample_bilinear(jnp.asarray(x), size))
+        np.testing.assert_allclose(got, ref, atol=2e-6, rtol=1e-6)
+
+        def loss_ref(z):
+            return jnp.sum(jnp.sin(resize_bilinear(z, size)))
+
+        def loss_phase(z):
+            return jnp.sum(jnp.sin(phase_upsample_bilinear(z, size)))
+
+        g_ref = np.asarray(jax.grad(loss_ref)(jnp.asarray(x)))
+        g_phase = np.asarray(jax.grad(loss_phase)(jnp.asarray(x)))
+        np.testing.assert_allclose(g_phase, g_ref, atol=2e-6, rtol=1e-6)
+
+
+def test_fused_upsample_toggle_routes_resize_bilinear():
+    from cmda_tpu.ops import resize as R
+    x = jnp.asarray(np.random.default_rng(4).normal(
+        size=(1, 6, 6, 2)).astype(np.float32))
+    base = np.asarray(R.resize_bilinear(x, (24, 24)))
+    R.set_fused_int_upsample(True)
+    try:
+        fused = np.asarray(R.resize_bilinear(x, (24, 24)))
+        # non-integer target still takes the jax.image.resize fallback
+        frac = np.asarray(R.resize_bilinear(x, (9, 9)))
+    finally:
+        R.set_fused_int_upsample(False)
+    np.testing.assert_allclose(fused, base, atol=2e-6, rtol=1e-6)
+    oracle = F.interpolate(torch.as_tensor(np.asarray(x)).permute(0, 3, 1, 2),
+                           size=(9, 9), mode="bilinear",
+                           align_corners=False).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(frac, oracle, atol=1e-4)

@@ -64,6 +64,10 @@ def parse_args():
                    help="Megatron-shard the encoder blocks over a 'model' "
                         "mesh axis of size N (parallel/mesh.py "
                         "tp_state_sharding); implies the GSPMD mesh step")
+    p.add_argument("--fused-resize", action="store_true",
+                   help="phase-decomposed integer-factor upsamples in the "
+                        "loss/decode paths (-2 GB temp HBM, ~-6%% time at "
+                        "batch 8 — for HBM-bound configs; docs/PERF.md)")
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    metavar="KEY=VAL",
                    help="dotted config override, e.g. uda.pseudo_threshold"
@@ -439,6 +443,9 @@ def main():
     args = parse_args()
     from cmda_tpu.utils.profiling import enable_compile_cache
     enable_compile_cache()
+    if args.fused_resize:
+        from cmda_tpu.ops.resize import set_fused_int_upsample
+        set_fused_int_upsample(True)
     if args.multi_host:
         from cmda_tpu.parallel.mesh import init_distributed
         pi, pc = init_distributed(coordinator_address=args.coordinator)
