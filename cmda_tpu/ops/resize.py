@@ -21,12 +21,13 @@ import jax.numpy as jnp
 # integer-factor bilinear UPSAMPLES through the fixed-phase elementwise
 # form instead of jax.image.resize's dot_generals.  Numerically equivalent
 # (same two-tap weights; tested to float roundoff in
-# tests/test_resize_augment.py) but lowers to VPU adds that XLA fuses into
-# adjacent consumers, so the [B,H,W,C] upsampled result never materializes
-# in HBM (-2 GB temp at the flagship batch-8 step).  MEASURED SLOWER on the
-# time-bound v5e batch-8 config (-6%: the MXU eats the resize matmuls
-# faster than the VPU runs the fused 512^2x19 chains) — enable only when a
-# config is HBM-bound (larger batch / bigger part / co-resident eval).
+# tests/test_resize_augment.py) and lowers to VPU adds that XLA can fuse
+# into adjacent consumers.  Whether that helps is TOOLCHAIN-DEPENDENT:
+# on the r2 sandbox it cut 2 GB of temp HBM at ~-6% time on the flagship
+# batch-8 step; on the refreshed jax-0.9.0 toolchain the compiler already
+# keeps the dot_general resize off the HBM peak and the phase form
+# measured LARGER peaks (docs/PERF.md "batch-10 hunt").  Re-measure
+# hbm_temp_gb (bench.py) before relying on it.
 _FUSED_INT_UPSAMPLE = False
 
 
