@@ -34,11 +34,19 @@ _FUSED_INT_UPSAMPLE = False
 def set_fused_int_upsample(enabled: bool) -> None:
     """Toggle the phase-decomposed integer-factor upsample path globally.
 
-    Call before tracing/jitting (the flag is read at trace time).  Wired to
-    ``bench.py --fused-resize`` and ``tools/train.py --fused-resize``.
+    The flag is read at trace time, so a toggle after a function has been
+    traced would otherwise silently keep serving the stale executable (the
+    jit cache is keyed on avals, not this flag).  To make late toggles take
+    effect rather than no-op, changing the value clears JAX's jit caches —
+    the affected programs retrace on next call (the persistent XLA cache
+    still makes recompiles cheap).  Wired to ``bench.py --fused-resize``
+    and ``tools/train.py --fused-resize``.
     """
     global _FUSED_INT_UPSAMPLE
-    _FUSED_INT_UPSAMPLE = bool(enabled)
+    enabled = bool(enabled)
+    if enabled != _FUSED_INT_UPSAMPLE:
+        _FUSED_INT_UPSAMPLE = enabled
+        jax.clear_caches()
 
 
 def resize_bilinear(x: jax.Array, size: tuple[int, int], align_corners: bool = False) -> jax.Array:

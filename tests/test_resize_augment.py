@@ -201,11 +201,19 @@ def test_phase_upsample_matches_resize_values_and_grads():
         np.testing.assert_allclose(g_phase, g_ref, atol=2e-6, rtol=1e-6)
 
 
-def test_fused_upsample_toggle_routes_resize_bilinear():
+def test_fused_upsample_toggle_routes_resize_bilinear(monkeypatch):
     from cmda_tpu.ops import resize as R
     x = jnp.asarray(np.random.default_rng(4).normal(
         size=(1, 6, 6, 2)).astype(np.float32))
     base = np.asarray(R.resize_bilinear(x, (24, 24)))
+    # Count phase_upsample_bilinear invocations: the fused and fallback
+    # paths agree to roundoff, so numerics alone can't detect the routing
+    # condition silently rotting (ADVICE r2).
+    calls = []
+    real_phase = R.phase_upsample_bilinear
+    monkeypatch.setattr(R, "phase_upsample_bilinear",
+                        lambda *a, **k: calls.append(a[1])
+                        or real_phase(*a, **k))
     R.set_fused_int_upsample(True)
     try:
         fused = np.asarray(R.resize_bilinear(x, (24, 24)))
@@ -213,6 +221,8 @@ def test_fused_upsample_toggle_routes_resize_bilinear():
         frac = np.asarray(R.resize_bilinear(x, (9, 9)))
     finally:
         R.set_fused_int_upsample(False)
+    assert calls == [(24, 24)], (
+        "fused path must be taken exactly for the integer-factor case")
     np.testing.assert_allclose(fused, base, atol=2e-6, rtol=1e-6)
     oracle = F.interpolate(torch.as_tensor(np.asarray(x)).permute(0, 3, 1, 2),
                            size=(9, 9), mode="bilinear",
