@@ -46,7 +46,8 @@ def enable_compile_cache():
 
 def run(batch_size: int, steps: int = 10, warmup: int = 3,
         remat: str = "block", moments: str = "float32",
-        head_batched: bool = False, fused_resize: bool = False):
+        head_batched: bool = False, fused_resize: bool = False,
+        stacked_ce: bool = False, split_transpose: bool = False):
     import sys
     import jax
     import jax.numpy as jnp
@@ -61,10 +62,12 @@ def run(batch_size: int, steps: int = 10, warmup: int = 3,
                   model=replace(cfg.model, remat=remat != "none",
                                 remat_policy=("dots" if remat == "dots"
                                               else "full"),
-                                head_batched_train=head_batched),
+                                head_batched_train=head_batched,
+                                scan_split_transpose=split_transpose),
                   data=replace(cfg.data, batch_size=batch_size),
                   optim=replace(cfg.optim, moment_dtype=moments),
-                  uda=replace(cfg.uda, use_cyclegan_day_events=True))
+                  uda=replace(cfg.uda, use_cyclegan_day_events=True,
+                              stacked_stream_ce=stacked_ce))
     trainer = DACSTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
     step = trainer.jit_train_step(donate=True)
@@ -104,6 +107,25 @@ def run(batch_size: int, steps: int = 10, warmup: int = 3,
                 getattr(mem, "argument_size_in_bytes", 0) / 2**30, 2)
     except Exception as e:  # cost model availability varies by backend
         print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
+    if fused_resize and "hbm_temp_gb" in stats:
+        # The lever's HBM effect is toolchain-dependent (docs/PERF.md): also
+        # compile (never execute) the non-fused step and report the temp-HBM
+        # delta so the flag self-documents whether it currently helps.
+        try:
+            set_fused_int_upsample(False)
+            step_nf = DACSTrainer(cfg).jit_train_step(donate=True)
+            mem_nf = step_nf.lower(state, batch, rng).compile() \
+                            .memory_analysis()
+            if mem_nf is not None:
+                nf = round(getattr(mem_nf, "temp_size_in_bytes", 0) / 2**30, 2)
+                stats["hbm_temp_gb_nonfused"] = nf
+                stats["hbm_temp_gb_delta"] = round(
+                    stats["hbm_temp_gb"] - nf, 2)
+        except Exception as e:
+            print(f"[bench] non-fused compile for HBM delta failed: {e}",
+                  file=sys.stderr)
+        finally:
+            set_fused_int_upsample(True)
     return batch_size * steps / dt, stats
 
 
@@ -124,9 +146,22 @@ def main():
                     help="batched multi-stream head in the TRAIN path "
                          "(model.head_batched_train)")
     ap.add_argument("--fused-resize", action="store_true",
-                    help="phase-decomposed integer-factor upsamples "
-                         "(-2 GB temp HBM, -6%% time at batch 8 — for "
-                         "HBM-bound configs; docs/PERF.md)")
+                    help="phase-decomposed integer-factor upsamples. "
+                         "TOOLCHAIN-DEPENDENT lever (helped on the r2 "
+                         "toolchain, hurt on jax-0.9.0); when set, the "
+                         "bench also compiles the non-fused step and "
+                         "reports hbm_temp_gb_nonfused / _delta so the "
+                         "flag self-documents whether it currently helps "
+                         "(docs/PERF.md)")
+    ap.add_argument("--stacked-ce", action="store_true",
+                    help="fold the 4 per-stream CEs into one stacked "
+                         "resize+CE chain (uda.stacked_stream_ce; "
+                         "parity-tested — perf experiment, docs/PERF.md)")
+    ap.add_argument("--split-transpose", action="store_true",
+                    help="lax.scan _split_transpose on the encoder stages "
+                         "(model.scan_split_transpose): separates the "
+                         "backward recompute scan from the grad-stacking "
+                         "transpose scan")
     args = ap.parse_args()
 
     enable_compile_cache()
@@ -141,7 +176,9 @@ def main():
                 sps, stats = run(bs, steps=args.steps, remat=args.remat,
                  moments=args.moments,
                  head_batched=args.head_batched,
-                 fused_resize=args.fused_resize)
+                 fused_resize=args.fused_resize,
+                 stacked_ce=args.stacked_ce,
+                 split_transpose=args.split_transpose)
                 batch_size = bs
                 break
             except Exception as e:

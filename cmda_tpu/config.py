@@ -85,6 +85,9 @@ class UDAConfig:
     loss_weight_events: float = 0.5
     loss_weight_fusion: float = 0.5
     loss_weight_isr: float = 0.25
+    # fold the 4 per-stream CEs into one stacked resize+CE kernel chain
+    # (same math, parity-tested; perf lever — see docs/PERF.md)
+    stacked_stream_ce: bool = False
     # events-vs-ISR per-iteration coin
     random_choice_thres: float | str = 0.5   # float, or 'a-b' linear schedule
     # mixed-image -> mixed-ISR recomputation
@@ -377,4 +380,19 @@ def tiny_test_config(**overrides) -> RunConfig:
         optim=OptimConfig(warmup_iters=10, max_iters=100),
         data=DataConfig(batch_size=2, crop_size=(64, 64)),
     )
+    return replace(cfg, **overrides) if overrides else cfg
+
+
+def micro_test_config(**overrides) -> RunConfig:
+    """Smallest full-machinery config (mit_micro: 1 block/stage, 32x32
+    crops) — for multi-process coordination tests where each worker must
+    COMPILE the whole DACS step on the 1-core CPU sandbox."""
+    cfg = tiny_test_config()
+    cfg = replace(
+        cfg, name="micro",
+        model=replace(cfg.model, backbone="mit_micro",
+                      head=DAFormerHeadConfig(
+                          in_channels=(16, 32, 64, 128),
+                          embed_dim=32, channels=32)),
+        data=replace(cfg.data, batch_size=2, crop_size=(32, 32)))
     return replace(cfg, **overrides) if overrides else cfg

@@ -42,6 +42,10 @@ class MiTConfig:
 
 
 MIT_VARIANTS = {
+    # not a reference variant: one block per stage, for coordination tests
+    # where compile time (1-core CPU sandbox) matters more than capacity
+    "mit_micro": MiTConfig(embed_dims=(16, 32, 64, 128),
+                           num_heads=(1, 2, 4, 8), depths=(1, 1, 1, 1)),
     "mit_b0": MiTConfig(embed_dims=(32, 64, 160, 256), depths=(2, 2, 2, 2)),
     "mit_b1": MiTConfig(depths=(2, 2, 2, 2)),
     "mit_b2": MiTConfig(depths=(3, 4, 6, 3)),
@@ -238,6 +242,9 @@ class MixVisionTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     remat_policy: str = "full"   # 'full' | 'dots' (save MXU outputs)
+    # lax.scan _split_transpose: backward becomes a recompute scan plus a
+    # separate transpose scan that stacks the per-block param grads
+    split_transpose: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -270,6 +277,7 @@ class MixVisionTransformer(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=0, length=depth,
+                _split_transpose=self.split_transpose,
                 metadata_params={nn.meta.PARTITION_NAME: None})
             stage_dpr = jnp.asarray(dpr[cur: cur + depth], jnp.float32)
             if deterministic:

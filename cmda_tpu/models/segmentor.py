@@ -44,6 +44,10 @@ class SegmentorConfig:
     drop_path_rate: float = 0.1
     remat: bool = False   # checkpoint each encoder block (memory vs FLOPs)
     remat_policy: str = "full"  # 'full' | 'dots' (save matmul outputs)
+    # lax.scan _split_transpose on the encoder stage scans: splits the
+    # backward into a recompute scan + a grad-stacking transpose scan
+    # (perf experiment vs the DUS bucket — docs/PERF.md)
+    scan_split_transpose: bool = False
     # batched multi-stream head decode during TRAINING (eval always
     # batches): opt-in — costs ~0.3 GB HBM, OOMs b5@batch8 on 16 GB v5e
     head_batched_train: bool = False
@@ -116,12 +120,26 @@ class GenericEncoderDecoder(nn.Module):
     head: nn.Module
     neck: nn.Module | None = None
 
-    def __call__(self, img, train: bool = False):
+    def extract_feat(self, img, train: bool = False):
+        """Backbone(+neck) features (mmseg EncoderDecoder.extract_feat
+        applies the neck when present)."""
         feats = self.backbone(img, train)
         if self.neck is not None:
             feats = self.neck(feats, train)
+        return feats
+
+    def __call__(self, img, train: bool = False):
+        feats = self.extract_feat(img, train)
         logits = self.head(feats, train)
         return resize_bilinear(logits, img.shape[1:3])
+
+    def forward_with_features(self, img, train: bool = False):
+        """Same contract as EncoderDecoder.forward_with_features — lets the
+        OrgDACS trainer drive any legacy architecture combo (the reference
+        exp 3-8 grids run DACS over ResNet/DLv2 etc., experiments.py:277-396)."""
+        feats = self.extract_feat(img, train)
+        logits = self.head(feats, train)
+        return resize_bilinear(logits, img.shape[1:3]), feats
 
 
 def multi_scale_flip_inference(apply_fn, img, *, scales=(1.0,),
@@ -158,10 +176,12 @@ class FusionEncoderDecoder(nn.Module):
                                    "drop_path_rate": self.cfg.drop_path_rate})
         self.backbone_image = MixVisionTransformer(
             mit_cfg, dtype=self.dtype, remat=self.cfg.remat,
-            remat_policy=self.cfg.remat_policy)
+            remat_policy=self.cfg.remat_policy,
+            split_transpose=self.cfg.scan_split_transpose)
         self.backbone_events = MixVisionTransformer(
             mit_cfg, dtype=self.dtype, remat=self.cfg.remat,
-            remat_policy=self.cfg.remat_policy)
+            remat_policy=self.cfg.remat_policy,
+            split_transpose=self.cfg.scan_split_transpose)
         self.fusion_module = build_fusion_module(
             self.cfg.fusion, self.dtype, remat=self.cfg.remat)
         self.fusion_isr_module = build_fusion_module(

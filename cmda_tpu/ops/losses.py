@@ -60,6 +60,25 @@ def weighted_cross_entropy(logits: jax.Array, labels: jax.Array,
     return jnp.mean(nll)
 
 
+def weighted_cross_entropy_stacked(logits: jax.Array, labels: jax.Array,
+                                   weight: jax.Array | None = None,
+                                   ignore_index: int = 255) -> jax.Array:
+    """Per-stream mean CE for S streams sharing one label/weight map.
+
+    ``logits`` [S, B, H, W, C]; ``labels`` [B, H, W]; returns [S] — each
+    entry identical to ``weighted_cross_entropy`` on that stream.  One
+    softmax/select/reduce chain over the stacked tensor replaces S separate
+    kernel chains (the CE/loss bucket was ~7% of the r2 step trace)."""
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -_select_class(logp, safe)            # [S, B, H, W]
+    nll = jnp.where(valid, nll, 0.0)
+    if weight is not None:
+        nll = nll * weight.astype(jnp.float32)
+    return jnp.mean(nll, axis=(1, 2, 3))
+
+
 def pixel_accuracy(logits: jax.Array, labels: jax.Array,
                    ignore_index: int = 255) -> jax.Array:
     """Top-1 accuracy (%), torch-parity denominator (all pixels)."""

@@ -220,7 +220,8 @@ class DACSTrainer:
     def _loss_weights(self):
         u = self.cfg.uda
         return dict(w_image=u.loss_weight_image, w_events=u.loss_weight_events,
-                    w_fusion=u.loss_weight_fusion, w_isr=u.loss_weight_isr)
+                    w_fusion=u.loss_weight_fusion, w_isr=u.loss_weight_isr,
+                    stacked=u.stacked_stream_ce)
 
     def _fdist_loss(self, state, feats_image, day_image, day_label):
         """ImageNet feature-distance on thing classes

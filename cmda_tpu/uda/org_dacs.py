@@ -35,15 +35,24 @@ from .dacs import DACSTrainState
 
 
 class OrgDACSTrainer:
-    def __init__(self, cfg: RunConfig, *, use_cyclegan_day2night: bool = False):
+    def __init__(self, cfg: RunConfig, *, use_cyclegan_day2night: bool = False,
+                 model=None, imnet_model=None):
+        """``model``/``imnet_model`` override the default MiT EncoderDecoder
+        with any module exposing ``forward_with_features``/``extract_feat``
+        (e.g. GenericEncoderDecoder) — the reference legacy grids run DACS
+        over ResNet/DLv2-family combos too (experiments.py:277-396)."""
         self.cfg = cfg
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.dtype]
-        self.model = EncoderDecoder(cfg.model, dtype=dtype)
+        self.model = (model if model is not None
+                      else EncoderDecoder(cfg.model, dtype=dtype))
         self.cyclegan = (ResnetGenerator(output_nc=3, n_blocks=9)
                          if use_cyclegan_day2night else None)
         self.enable_fdist = cfg.uda.imnet_feature_dist_lambda > 0
-        self.imnet = (EncoderDecoder(cfg.model, dtype=dtype)
-                      if self.enable_fdist else None)
+        if self.enable_fdist:
+            self.imnet = (imnet_model if imnet_model is not None
+                          else EncoderDecoder(cfg.model, dtype=dtype))
+        else:
+            self.imnet = None
         self.tx = None
 
     def init_state(self, rng, *, cyclegan_params=None, imnet_params=None,

@@ -18,15 +18,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.losses import weighted_cross_entropy, pixel_accuracy
+from ..ops.losses import (
+    weighted_cross_entropy, weighted_cross_entropy_stacked, pixel_accuracy)
 from ..ops.resize import resize_bilinear
 
 
 def multi_stream_loss(logits: dict, label, seg_weight, *, w_image: float,
                       w_events: float, w_fusion: float, w_isr: float,
-                      ignore_index: int = 255):
+                      ignore_index: int = 255, stacked: bool = False):
     """logits: dict of stride-4 NHWC streams (None where absent);
-    label [B,H,W] int; seg_weight [B,H,W] or None.  Returns (loss, logs)."""
+    label [B,H,W] int; seg_weight [B,H,W] or None.  Returns (loss, logs).
+
+    ``stacked=True`` (4-stream case only) folds the four per-stream CEs
+    into ONE checkpointed resize+CE over the stream-stacked tensor
+    (UDAConfig.stacked_stream_ce; parity-tested against the sequential
+    path). Same math, one kernel chain instead of four."""
     size = label.shape[1:3]
 
     # jax.checkpoint: the resized-to-label f32 logits ([B,512,512,19] ~=
@@ -38,6 +44,30 @@ def multi_stream_loss(logits: dict, label, seg_weight, *, w_image: float,
         return weighted_cross_entropy(
             resize_bilinear(x, size), label, seg_weight,
             ignore_index=ignore_index)
+
+    if (stacked and logits.get("fusion_output") is not None
+            and logits.get("events_output") is not None
+            and logits.get("img_self_res_output") is not None):
+
+        @jax.checkpoint
+        def stacked_ce(xs):            # xs: [4, B, h/4, w/4, C]
+            big = resize_bilinear(xs.reshape((-1,) + xs.shape[2:]), size)
+            big = big.reshape(xs.shape[:2] + big.shape[1:])
+            return weighted_cross_entropy_stacked(
+                big, label, seg_weight, ignore_index=ignore_index)
+
+        xs = jnp.stack([logits["image_output"], logits["fusion_output"],
+                        logits["events_output"],
+                        logits["img_self_res_output"]])
+        l_image, l_fusion, l_events, l_isr = stacked_ce(xs)
+        loss = (l_image * w_image + l_fusion * w_fusion
+                + l_isr * w_isr + l_events * (w_events / 2.0))
+        logs = {"loss_image": l_image, "loss_fusion": l_fusion,
+                "loss_events": l_events, "loss_isr": l_isr,
+                "acc_seg": pixel_accuracy(
+                    resize_bilinear(logits["fusion_output"], size), label),
+                "loss_seg": loss}
+        return loss, logs
 
     l_image = stream_ce(logits["image_output"])
     loss = l_image * w_image

@@ -116,3 +116,38 @@ def test_eval_metrics_miou():
     np.testing.assert_allclose(ret["IoU"], iou_oracle)
     summary = summarize_miou(ret, valid_classes=4)
     assert abs(summary["mIoU_4cls"] - np.nanmean(iou_oracle) * 5 / 4) < 1e-9
+
+
+def test_stacked_stream_ce_matches_sequential():
+    """multi_stream_loss(stacked=True) folds the 4 per-stream CEs into one
+    stacked resize+CE chain (uda.stacked_stream_ce perf lever) — values AND
+    grads must match the sequential path."""
+    import jax
+    from cmda_tpu.uda.transforms import multi_stream_loss
+
+    g = np.random.default_rng(11)
+    b, hw, c = 2, 16, 19
+    logits = {
+        k: jnp.asarray(g.normal(size=(b, hw // 4, hw // 4, c))
+                       .astype(np.float32))
+        for k in ["image_output", "fusion_output", "events_output",
+                  "img_self_res_output"]}
+    label = jnp.asarray(g.integers(0, c, size=(b, hw, hw)).astype(np.int32))
+    label = label.at[0, :3].set(255)
+    weight = jnp.asarray(g.random(size=(b, hw, hw)).astype(np.float32))
+    kw = dict(w_image=0.5, w_events=0.5, w_fusion=0.7, w_isr=0.25)
+
+    def total(lg, stacked):
+        return multi_stream_loss(lg, label, weight, stacked=stacked, **kw)[0]
+
+    l_seq, g_seq = jax.value_and_grad(total)(logits, False)
+    l_st, g_st = jax.value_and_grad(total)(logits, True)
+    np.testing.assert_allclose(float(l_st), float(l_seq), rtol=1e-6)
+    for k in logits:
+        np.testing.assert_allclose(np.asarray(g_st[k]), np.asarray(g_seq[k]),
+                                   atol=1e-6, rtol=1e-5)
+    _, logs_seq = multi_stream_loss(logits, label, weight, stacked=False, **kw)
+    _, logs_st = multi_stream_loss(logits, label, weight, stacked=True, **kw)
+    for k in logs_seq:
+        np.testing.assert_allclose(float(logs_st[k]), float(logs_seq[k]),
+                                   rtol=1e-5)

@@ -139,3 +139,25 @@ def test_encoder_decoder_and_slide():
     chunked = slide_inference(crop_fn, full, crop_size=(64, 64),
                               stride=(32, 32), num_classes=19, crop_chunk=2)
     assert bool(jnp.allclose(pred, chunked, atol=1e-5))
+
+
+def test_mit_split_transpose_grad_parity():
+    """scan _split_transpose (model.scan_split_transpose perf lever) is an
+    implementation detail of the scan backward — values and grads must be
+    identical to the default scan."""
+    m0 = MixVisionTransformer(MIT_VARIANTS["mit_b0"], remat=True)
+    m1 = MixVisionTransformer(MIT_VARIANTS["mit_b0"], remat=True,
+                              split_transpose=True)
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        size=(1, 32, 32, 3)).astype(np.float32))
+    params = m0.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(m, p):
+        outs = m.apply({"params": p}, x)
+        return sum(o.astype(jnp.float32).sum() for o in outs)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5), g0, g1)

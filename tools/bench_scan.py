@@ -39,7 +39,16 @@ def main():
     ap.add_argument("--depth", type=int, default=40)
     ap.add_argument("--heads", type=int, default=5)
     ap.add_argument("--sr", type=int, default=2)
+    ap.add_argument("--unrolls", default="1,2,4",
+                    help="comma list of scan unroll factors to try")
+    ap.add_argument("--split-transpose", default="0",
+                    help="comma list of 0/1: lax.scan _split_transpose — "
+                         "splits the scan backward into a recompute scan + "
+                         "a transpose scan (attacks the grad-stacking DUS "
+                         "bucket, 10.5%% of the r2 step trace)")
     args = ap.parse_args()
+    unrolls = [int(v) for v in args.unrolls.split(",")]
+    splits = [bool(int(v)) for v in args.split_transpose.split(",")]
 
     import jax
     import jax.numpy as jnp
@@ -53,6 +62,7 @@ def main():
     class Stage(nn.Module):
         remat: bool
         unroll: int = 1
+        split_transpose: bool = False
 
         @nn.compact
         def __call__(self, x, dpr, u):
@@ -62,6 +72,7 @@ def main():
             Scan = nn.scan(cls, variable_axes={"params": 0},
                            split_rngs={"params": True, "dropout": True},
                            in_axes=0, length=args.depth, unroll=self.unroll,
+                           _split_transpose=self.split_transpose,
                            metadata_params={nn.meta.PARTITION_NAME: None})
             y, _ = Scan(dim=args.dim, num_heads=args.heads, mlp_ratio=4,
                         sr_ratio=args.sr, qkv_bias=True, drop_rate=0.0,
@@ -77,21 +88,25 @@ def main():
 
     report = {}
     for remat in (True, False):
-        for unroll in (1, 2, 4):
-            m = Stage(remat=remat, unroll=unroll)
-            params = m.init(rng, x, dpr, u)["params"]
-            fwd = jax.jit(lambda p, xx: m.apply({"params": p}, xx, dpr, u))
-            key = f"remat={int(remat)}_unroll={unroll}"
-            report[f"fwd_{key}_ms"] = round(timed(fwd, params, x) * 1e3, 2)
+        for unroll in unrolls:
+            for st in splits:
+                m = Stage(remat=remat, unroll=unroll, split_transpose=st)
+                params = m.init(rng, x, dpr, u)["params"]
+                fwd = jax.jit(
+                    lambda p, xx: m.apply({"params": p}, xx, dpr, u))
+                key = f"remat={int(remat)}_unroll={unroll}_st={int(st)}"
+                if not st:   # fwd is unaffected by _split_transpose
+                    report[f"fwd_{key}_ms"] = round(
+                        timed(fwd, params, x) * 1e3, 2)
 
-            def loss(p, xx):
-                return m.apply({"params": p}, xx, dpr, u).astype(
-                    jnp.float32).sum()
+                def loss(p, xx):
+                    return m.apply({"params": p}, xx, dpr, u).astype(
+                        jnp.float32).sum()
 
-            g = jax.jit(jax.grad(loss))
-            report[f"grad_{key}_ms"] = round(timed(g, params, x) * 1e3, 2)
-            print(json.dumps({k: v for k, v in report.items()
-                              if key in k}), flush=True)
+                g = jax.jit(jax.grad(loss))
+                report[f"grad_{key}_ms"] = round(timed(g, params, x) * 1e3, 2)
+                print(json.dumps({k: v for k, v in report.items()
+                                  if key in k}), flush=True)
     print(json.dumps(report, indent=1))
 
 

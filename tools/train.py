@@ -66,8 +66,10 @@ def parse_args():
                         "tp_state_sharding); implies the GSPMD mesh step")
     p.add_argument("--fused-resize", action="store_true",
                    help="phase-decomposed integer-factor upsamples in the "
-                        "loss/decode paths (-2 GB temp HBM, ~-6%% time at "
-                        "batch 8 — for HBM-bound configs; docs/PERF.md)")
+                        "loss/decode paths. TOOLCHAIN-DEPENDENT: cut temp "
+                        "HBM on some jax versions but ENLARGED the peak on "
+                        "others — re-measure hbm_temp_gb via bench.py "
+                        "--fused-resize before using (docs/PERF.md)")
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    metavar="KEY=VAL",
                    help="dotted config override, e.g. uda.pseudo_threshold"
