@@ -7,6 +7,16 @@ iterations each.  ``--exp 101`` = the UDA Training Startup Test (:429-455):
 2-iteration smoke runs of every UDA variant.  Both run on synthetic data by
 default so they double as integration tests. ``--exp 1`` = the flagship
 cs2dsec recipe, ``--exp 2`` = cs2dz.
+
+``--exp 3..8`` = the reference legacy ablation-table grids
+(experiments.py:277-393) in 2-iter smoke mode: 3 = Encoder Study,
+4 = LR-Warmup Ablation (poly10 without warmup), 5 = RCS & Feature-Distance,
+6 = Decoder Study, 7 = Final DAFormer on SYNTHIA (16 classes),
+8 = Further Datasets (cs->acdc, cs->darkzurich).  Every combo instantiates
+its (architecture, backbone) pair, maps the uda id onto UDAConfig
+(dacs / dacs_fd / dacs_fdthings / dacs_a999_fdthings / plcrop), validates
+the RCS temperature through ``rcs_class_probs``, and runs 2 iterations —
+OrgDACS for 'dacs*' ids, a supervised step for source-/target-only.
 """
 from __future__ import annotations
 
@@ -43,84 +53,118 @@ def architecture_grid():
     return [c if len(c) == 4 else c + (None,) for c in combos]
 
 
-def legacy_architecture_grid():
-    """The reference exp-100 architecture/backbone table
-    (experiments.py:398-427), scaled to smoke-size backbones: each entry
-    builds a GenericEncoderDecoder and is trained 2 supervised iterations.
-    Backbone name mapping: r101v1c/r50v1c -> ResNetV1c (d8 dilated),
-    s50/s101/s200 -> ResNeSt, x50-32/x101-32 -> ResNeXt, mitbX -> MiT."""
+# reference backbone id (experiments.py:51-100) -> repo RESNET_VARIANTS key.
+# s200 has no dedicated variant table entry; it smoke-maps to the deepest
+# ResNeSt preset (the reference distinction is depth only).
+_LEGACY_RESNET_MAP = {
+    "r50v1c": "resnet50_d8",
+    "r101v1c": "resnet101_d8",
+    "s50": "resnest50",
+    "s101": "resnest101_d8",
+    "s200": "resnest101_d8",
+    "x50-32": "resnext50",
+    "x101-32": "resnext101_d8",
+}
+
+
+def _legacy_model_builder(arch: str, backbone: str, num_classes: int = 19):
+    """Zero-arg builder for a reference legacy (architecture, backbone) id
+    pair (reference experiments.py:6-29 get_model_base / :51-100
+    get_backbone_cfg), smoke-sized: ResNet variants run depths=(1,1,1,1),
+    every MiT size maps to mit_b0, head channels shrink to 64.  Returns a
+    builder (not an instance) so fdist variants can build a twin imnet.
+    The '_nodbn' suffix (decoder-BN ablation) and the 'sfa_' prefix
+    (SegFormerAdapter neck, experiments.py:134-135) are honored."""
     from cmda_tpu.models.resnet import ResNetV1c, RESNET_VARIANTS, ResNetConfig
     from cmda_tpu.models.mit import MixVisionTransformer, MIT_VARIANTS
     from cmda_tpu.models.heads import (
         HeadConfig, SegFormerHead, ASPPHead, DAHead, ISAHead, DLV2Head,
         UPerHead, SegFormerAdapter)
     from cmda_tpu.models.daformer import DAFormerHead, DAFormerHeadConfig
+    from cmda_tpu.models.segmentor import GenericEncoderDecoder
 
-    rcfg = HeadConfig(in_channels=(256, 512, 1024, 2048), channels=64)
-    mit_hc = HeadConfig(in_channels=(32, 64, 160, 256), channels=64)
+    is_mit = "mit" in backbone
 
-    def resnet(name):
-        # smoke-size: 2 blocks per stage, same block types/strides/dilations
-        base = RESNET_VARIANTS[name]
-        return ResNetV1c(ResNetConfig(**{**base.__dict__,
-                                         "depths": (1, 1, 1, 1)}))
+    def build():
+        if is_mit:
+            bb = MixVisionTransformer(MIT_VARIANTS["mit_b0"])
+            ch = (32, 64, 160, 256)
+        else:
+            base = RESNET_VARIANTS[_LEGACY_RESNET_MAP[backbone]]
+            bb = ResNetV1c(ResNetConfig(**{**base.__dict__,
+                                           "depths": (1, 1, 1, 1)}))
+            ch = (256, 512, 1024, 2048)
+        hc = HeadConfig(in_channels=ch, channels=64, num_classes=num_classes)
+        a = arch
+        neck = None
+        if a.startswith("sfa_"):
+            neck = SegFormerAdapter()
+            a = a[len("sfa_"):]
+        a = a.replace("_nodbn", "")
 
-    def mit(name="mit_b0"):
-        return MixVisionTransformer(MIT_VARIANTS["mit_b0"])
+        def daformer(fusion_type):
+            return DAFormerHead(DAFormerHeadConfig(
+                in_channels=ch, embed_dim=64, channels=64,
+                num_classes=num_classes, fusion_type=fusion_type))
 
-    def daformer(fusion_type):
-        return DAFormerHead(DAFormerHeadConfig(
-            in_channels=(32, 64, 160, 256), embed_dim=64, channels=64,
-            fusion_type=fusion_type))
+        head = {
+            "dlv2red": lambda: DLV2Head(hc),
+            "dlv2": lambda: DLV2Head(hc),
+            "dlv3p": lambda: ASPPHead(hc, dilations=(1, 12, 24), sep=True,
+                                      c1_channels=48),
+            "da": lambda: DAHead(hc),
+            "isa": lambda: ISAHead(hc, isa_channels=32, down_factor=(2, 2)),
+            "segformer": lambda: SegFormerHead(hc),
+            "daformer_conv1": lambda: daformer("conv"),
+            "daformer_isa": lambda: daformer("isa"),
+            "daformer_sepaspp_bottleneck": lambda: daformer(
+                "rawconv_and_aspp"),
+            "daformer_aspp": lambda: daformer("aspp_nonsep"),
+            "daformer_sepaspp": lambda: daformer("aspp"),
+            "upernet": lambda: UPerHead(hc),
+            "upernet_ch256": lambda: UPerHead(hc, pool_scales=(1, 2)),
+        }[a]()
+        return GenericEncoderDecoder(bb, head, neck=neck)
 
-    combos = [
-        ("dlv2red_r101v1c", resnet("resnet101_d8"), DLV2Head(rcfg)),
-        ("dlv3p_nodbn_r101v1c", resnet("resnet101_d8"),
-         ASPPHead(rcfg, dilations=(1, 12, 24), sep=True, c1_channels=48)),
-        ("da_nodbn_r101v1c", resnet("resnet101_d8"), DAHead(rcfg)),
-        ("segformer_mitb5", mit(), SegFormerHead(mit_hc)),
-        ("isa_nodbn_r101v1c", resnet("resnet101_d8"),
-         ISAHead(rcfg, isa_channels=32, down_factor=(2, 2))),
-        ("dlv2red_r50v1c", resnet("resnet50_d8"), DLV2Head(rcfg)),
-        ("dlv2red_s50", resnet("resnest50"), DLV2Head(rcfg)),
-        ("dlv2red_s101", resnet("resnest101_d8"), DLV2Head(rcfg)),
-        ("dlv2red_s200", resnet("resnest101_d8"), DLV2Head(rcfg)),
-        ("dlv2red_x50-32", resnet("resnext50"), DLV2Head(rcfg)),
-        ("dlv2red_x101-32", resnet("resnext101_d8"), DLV2Head(rcfg)),
-        ("segformer_mitb4", mit(), SegFormerHead(mit_hc)),
-        ("segformer_mitb3", mit(), SegFormerHead(mit_hc)),
-        # 'sfa_' wires the SegFormerAdapter neck (experiments.py:134-135):
-        # stage-3 upsampled 4x replaces the last feature before the head
-        ("sfa_dlv3p_nodbn_mitb5-del", mit(),
-         ASPPHead(mit_hc, dilations=(1, 12, 24), sep=True, c1_channels=48),
-         SegFormerAdapter()),
-        ("segformer_r101v1c", resnet("resnet101_d8"), SegFormerHead(rcfg)),
-        ("daformer_conv1_mitb5", mit(), daformer("conv")),
-        ("daformer_isa_mitb5", mit(), daformer("isa")),
-        ("daformer_sepaspp_bottleneck_mitb5", mit(),
-         daformer("rawconv_and_aspp")),
-        ("daformer_aspp_mitb5", mit(), daformer("aspp_nonsep")),
-        ("daformer_sepaspp_mitb5", mit(), daformer("aspp")),
-        ("upernet_mitb5", mit(), UPerHead(mit_hc)),
-        ("upernet_ch256_mitb5", mit(), UPerHead(mit_hc, pool_scales=(1, 2))),
+    return build
+
+
+def legacy_architecture_grid():
+    """The reference exp-100 architecture/backbone table
+    (experiments.py:398-427), scaled to smoke-size backbones: each entry
+    builds a GenericEncoderDecoder and is trained 2 supervised iterations.
+    Backbone name mapping: r101v1c/r50v1c -> ResNetV1c (d8 dilated),
+    s50/s101/s200 -> ResNeSt, x50-32/x101-32 -> ResNeXt, mitbX -> MiT."""
+    pairs = [
+        ("dlv2red", "r101v1c"), ("dlv3p_nodbn", "r101v1c"),
+        ("da_nodbn", "r101v1c"), ("segformer", "mitb5"),
+        ("isa_nodbn", "r101v1c"), ("dlv2red", "r50v1c"),
+        ("dlv2red", "s50"), ("dlv2red", "s101"), ("dlv2red", "s200"),
+        ("dlv2red", "x50-32"), ("dlv2red", "x101-32"),
+        ("segformer", "mitb4"), ("segformer", "mitb3"),
+        ("sfa_dlv3p_nodbn", "mitb5-del"), ("segformer", "r101v1c"),
+        ("daformer_conv1", "mitb5"), ("daformer_isa", "mitb5"),
+        ("daformer_sepaspp_bottleneck", "mitb5"), ("daformer_aspp", "mitb5"),
+        ("daformer_sepaspp", "mitb5"), ("upernet", "mitb5"),
+        ("upernet_ch256", "mitb5"),
     ]
-    return [c if len(c) == 4 else c + (None,) for c in combos]
+    return [(f"{a}_{b}", _legacy_model_builder(a, b)) for a, b in pairs]
 
 
-def supervised_smoke(name, backbone, head, iters=2, hw=48, neck=None):
+def supervised_smoke(name, model_builder, iters=2, hw=48, num_classes=19):
     """2-iteration supervised train smoke (the reference exp-100 runs each
     architecture for iters=2 with uda='target-only')."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     import optax
-    from cmda_tpu.models.segmentor import GenericEncoderDecoder
     from cmda_tpu.ops.losses import weighted_cross_entropy
 
-    model = GenericEncoderDecoder(backbone, head, neck=neck)
+    model = model_builder()
     g = np.random.default_rng(0)
     img = jnp.asarray(g.normal(size=(1, hw, hw, 3)).astype(np.float32))
-    lbl = jnp.asarray(g.integers(0, 19, size=(1, hw, hw)).astype(np.int32))
+    lbl = jnp.asarray(g.integers(0, num_classes,
+                                 size=(1, hw, hw)).astype(np.int32))
     variables = model.init(jax.random.PRNGKey(0), img, train=False)
     params = variables["params"]
     bstats = variables.get("batch_stats", {})
@@ -214,8 +258,138 @@ def legacy_uda_grid():
     ]
 
 
-def org_smoke_run(name, cfg, iters=2, eager=False):
-    """2-iter OrgDACS smoke (the legacy-grid analogue of smoke_run)."""
+# the DAFormer 'things' classes of dacs_fdthings
+# (reference configs/_base_/uda/dacs_a999_fdthings.py)
+_FD_THINGS = (6, 7, 11, 12, 13, 14, 15, 16, 17, 18)
+
+
+def _legacy_uda_cfg(base, uda: str, rcs_T, plcrop: bool, num_classes=19,
+                    warmup=True):
+    """Map a reference legacy uda id (dacs / dacs_fd / dacs_fdthings /
+    dacs_a999_fdthings) + rcs/plcrop/schedule knobs onto RunConfig
+    (reference experiments.py:112-116 setup_rcs, :151-154 plcrop,
+    _base_/uda/dacs*.py for alpha/fdist)."""
+    from cmda_tpu.config import replace
+    u = replace(base.uda, alpha=0.999 if "a999" in uda else 0.99)
+    if "fdthings" in uda:
+        u = replace(u, imnet_feature_dist_lambda=0.005,
+                    imnet_feature_dist_classes=_FD_THINGS,
+                    imnet_feature_dist_scale_min_ratio=0.75)
+    elif "fd" in uda:
+        u = replace(u, imnet_feature_dist_lambda=0.005,
+                    imnet_feature_dist_classes=tuple(range(num_classes)),
+                    imnet_feature_dist_scale_min_ratio=0.75)
+    else:
+        u = replace(u, imnet_feature_dist_lambda=0.0)
+    if plcrop:
+        u = replace(u, pseudo_weight_ignore_top=15,
+                    pseudo_weight_ignore_bottom=120)
+    data = replace(base.data, num_classes=num_classes,
+                   rcs_enabled=rcs_T is not None,
+                   rcs_class_temp=rcs_T if rcs_T is not None else 0.01)
+    optim = base.optim if warmup else replace(base.optim, warmup_iters=0)
+    return replace(base, uda=u, data=data, optim=optim)
+
+
+def legacy_table_grid(exp_id: int):
+    """The reference ablation-table grids 3-8 (experiments.py:277-393),
+    smoke-sized with seeds collapsed to one.  Returns combo dicts; names
+    follow the reference cfg['name'] scheme (source2target_uda_arch_...)."""
+    import math
+    combos = []
+
+    def add(arch, backbone, uda, rcs_T=None, plcrop=False, warmup=True,
+            nc=19, source="gta", target="cs"):
+        if "dacs" not in uda:   # reference applies rcs/plcrop only to dacs
+            rcs_T, plcrop = None, False
+        uda_mod = uda
+        if rcs_T is not None:
+            uda_mod += "_rcsinf" if rcs_T == math.inf else f"_rcs{rcs_T}"
+        if plcrop:
+            uda_mod += "_cpl"
+        sched = "poly10warm" if warmup else "poly10"
+        combos.append(dict(
+            name=f"{source}2{target}_{uda_mod}_{arch}_{backbone}_{sched}"
+                 .replace(".", ""),
+            arch=arch, backbone=backbone, uda=uda, rcs_T=rcs_T,
+            plcrop=plcrop, warmup=warmup, num_classes=nc))
+
+    if exp_id == 3:    # Encoder Study (experiments.py:277-297)
+        for arch, bb in [("dlv2red", "r50v1c"), ("dlv2red", "s50"),
+                         ("dlv2red", "s101"), ("dlv2red", "s200"),
+                         ("segformer", "mitb3"), ("segformer", "mitb4")]:
+            for uda in ["source-only", "dacs", "target-only"]:
+                add(arch, bb, uda)
+    elif exp_id == 4:  # LR-Warmup Ablation (:301-316): poly10, no warmup
+        for arch, bb in [("dlv2red", "r101v1c"), ("segformer", "mitb5")]:
+            for uda in ["dacs", "target-only"]:
+                add(arch, bb, uda, warmup=False)
+    elif exp_id == 5:  # RCS and FD (:320-334)
+        for arch, bb, uda, rcs_T, plcrop in [
+                ("segformer", "mitb5", "dacs", math.inf, False),
+                ("segformer", "mitb5", "dacs", 0.01, False),
+                ("segformer", "mitb5", "dacs_fd", None, False),
+                ("segformer", "mitb5", "dacs_fdthings", None, False),
+                ("segformer", "mitb5", "dacs_fdthings", 0.01, False),
+                ("segformer", "mitb5", "dacs_a999_fdthings", 0.01, True),
+                ("dlv2red", "r101v1c", "dacs_a999_fdthings", 0.01, True)]:
+            add(arch, bb, uda, rcs_T, plcrop)
+    elif exp_id == 6:  # Decoder Study (:338-359)
+        for arch in ["daformer_conv1", "upernet", "upernet_ch256",
+                     "daformer_isa", "daformer_sepaspp_bottleneck",
+                     "daformer_aspp", "daformer_sepaspp"]:
+            for uda in ["dacs_a999_fdthings", "target-only"]:
+                add(arch, "mitb5", uda, 0.01, True)
+    elif exp_id == 7:  # Final DAFormer on SYNTHIA, 16 classes (:363-376)
+        add("daformer_sepaspp", "mitb5", "dacs_a999_fdthings", 0.01, True,
+            nc=16, source="syn")
+    elif exp_id == 8:  # Further Datasets (:380-393)
+        for target in ["acdc", "dzur"]:
+            add("daformer_sepaspp", "mitb5", "dacs_a999_fdthings", 0.01,
+                True, source="cs", target=target)
+    else:
+        raise NotImplementedError(f"unknown legacy grid id {exp_id}")
+    return combos
+
+
+def legacy_combo_run(combo, iters=2, eager=False):
+    """Instantiate one legacy-grid combo and run ``iters`` steps: OrgDACS
+    for 'dacs*' ids, a supervised step for source-/target-only (the smoke
+    data is synthetic either way, matching exp 100/101)."""
+    from cmda_tpu.config import tiny_test_config, replace
+
+    nc = combo["num_classes"]
+    builder = _legacy_model_builder(combo["arch"], combo["backbone"], nc)
+    out = {}
+    if combo["rcs_T"] is not None:
+        # prove the RCS wiring at this temperature on synthetic class stats
+        # (the file-level sampler is covered by tests/test_data.py)
+        import numpy as np
+        from cmda_tpu.data.uda import rcs_class_probs
+        stats = {f"f{i}": {str(c): (c + 1) * 100 for c in range(nc)}
+                 for i in range(3)}
+        classes, probs = rcs_class_probs(stats, combo["rcs_T"], nc)
+        assert abs(float(np.sum(probs)) - 1.0) < 1e-6
+        out["rcs_prob_max"] = round(float(np.max(probs)), 4)
+    if combo["uda"] in ("source-only", "target-only"):
+        out["loss"] = supervised_smoke(combo["name"], builder, iters,
+                                       num_classes=nc)
+        return out
+    base = tiny_test_config()
+    base = replace(base, model=replace(base.model, train_type="cs2dz_image",
+                                       fusion="", fusion_isr=""))
+    cfg = _legacy_uda_cfg(base, combo["uda"], combo["rcs_T"],
+                          combo["plcrop"], num_classes=nc,
+                          warmup=combo["warmup"])
+    out["loss"] = org_smoke_run(combo["name"], cfg, iters, eager=eager,
+                                model_builder=builder)
+    return out
+
+
+def org_smoke_run(name, cfg, iters=2, eager=False, model_builder=None):
+    """2-iter OrgDACS smoke (the legacy-grid analogue of smoke_run).
+    ``model_builder`` swaps the default MiT EncoderDecoder for a legacy
+    architecture combo (called twice when fdist needs a twin imnet)."""
     import contextlib
     import jax
     import jax.numpy as jnp
@@ -223,16 +397,23 @@ def org_smoke_run(name, cfg, iters=2, eager=False):
     from cmda_tpu.data.synthetic import SyntheticSource, SyntheticTarget
     from cmda_tpu.data.uda import UDAPairDataset
 
-    src = SyntheticSource(crop_size=cfg.data.crop_size, with_time_res=False)
-    tgt = SyntheticTarget(crop_size=cfg.data.crop_size, with_events=False)
+    src = SyntheticSource(crop_size=cfg.data.crop_size, with_time_res=False,
+                          num_classes=cfg.data.num_classes)
+    tgt = SyntheticTarget(crop_size=cfg.data.crop_size, with_events=False,
+                          num_classes=cfg.data.num_classes)
     pair = UDAPairDataset(src, tgt, seed=0)
-    trainer = OrgDACSTrainer(cfg)
+    enable_fdist = cfg.uda.imnet_feature_dist_lambda > 0
+    trainer = OrgDACSTrainer(
+        cfg,
+        model=model_builder() if model_builder else None,
+        imnet_model=model_builder() if (model_builder and enable_fdist)
+        else None)
     imnet = None
     if trainer.enable_fdist:
         # frozen "ImageNet" feature net: random stand-in for the smoke run
         # (real runs import torch weights via tools/train.py --imnet)
         h, w = cfg.data.crop_size
-        imnet = trainer.model.init(
+        imnet = trainer.imnet.init(
             jax.random.PRNGKey(7),
             jnp.zeros((1, h, w, 3), jnp.float32))["params"]
     state = trainer.init_state(jax.random.PRNGKey(0), imnet_params=imnet)
@@ -293,7 +474,9 @@ def _run_iters(cfg, pair, trainer, state, step, iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", type=int, required=True,
-                    help="1=cs2dsec 2=cs2dz 100=arch grid 101=uda grid 102=legacy OrgDACS grid")
+                    help="1=cs2dsec 2=cs2dz 3..8=reference ablation-table "
+                         "grids (smoke mode) 100=arch grid 101=uda grid "
+                         "102=legacy OrgDACS grid")
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--eager", action="store_true",
                     help="run steps with jax.disable_jit (the tiny-config "
@@ -327,12 +510,23 @@ def main():
                 print(f"[FAIL] {name}: {e}", flush=True)
                 traceback.print_exc()
         # reference exp-100 architecture table (supervised smokes)
-        for name, backbone, head, neck in legacy_architecture_grid():
+        for name, builder in legacy_architecture_grid():
             try:
-                loss = supervised_smoke(name, backbone, head, args.iters,
-                                        neck=neck)
+                loss = supervised_smoke(name, builder, args.iters)
                 results[name] = {"ok": True, "loss": loss}
                 print(f"[OK]   {name}: loss={loss:.3f}", flush=True)
+            except Exception as e:
+                results[name] = {"ok": False,
+                                 "error": f"{type(e).__name__}: {e}"}
+                print(f"[FAIL] {name}: {e}", flush=True)
+                traceback.print_exc()
+    elif args.exp in (3, 4, 5, 6, 7, 8):
+        for combo in legacy_table_grid(args.exp):
+            name = combo["name"]
+            try:
+                r = legacy_combo_run(combo, args.iters, eager=args.eager)
+                results[name] = {"ok": True, **r}
+                print(f"[OK]   {name}: loss={r['loss']:.3f}", flush=True)
             except Exception as e:
                 results[name] = {"ok": False,
                                  "error": f"{type(e).__name__}: {e}"}
