@@ -27,9 +27,32 @@ from PIL import Image
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Class-keyed palette: pixel appearance is a (noisy) function of the label,
+# so the corpus is LEARNABLE — a source-only model picks up the mapping on
+# the bright "day" domain and UDA self-training must close the gap to the
+# dark "night" rendering of the same palette (the convergence-demo circuit;
+# VERDICT r2 item 3). Set --unlearnable to restore pure-noise images.
+_PALETTE = np.stack([
+    np.array([(50 + 11 * c) % 256, (210 - 9 * c) % 256, (37 * c + 20) % 256],
+             np.float64) for c in range(19)])
+
+
+def _day_image(g, lbl):
+    """Bright domain: palette color + noise."""
+    img = _PALETTE[lbl] + g.normal(0.0, 18.0, lbl.shape + (3,))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _night_image(g, lbl):
+    """Dark domain: dimmed palette + blue cast + noise (the cs->dsec /
+    cs->dz day->night shift analogue)."""
+    img = 0.35 * _PALETTE[lbl] + np.array([0.0, 0.0, 40.0])
+    img = img + g.normal(0.0, 12.0, lbl.shape + (3,))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
 
 def fabricate_cityscapes(root: str, n_images: int = 6,
-                         size=(512, 256)) -> str:
+                         size=(512, 256), learnable: bool = True) -> str:
     """leftImg8bit/train + leftImg8bit_IC1 + gtFine + RCS jsons."""
     g = np.random.default_rng(0)
     img_dir = os.path.join(root, "leftImg8bit", "train", "faketown")
@@ -42,15 +65,16 @@ def fabricate_cityscapes(root: str, n_images: int = 6,
     for i in range(n_images):
         name = f"faketown_{i:06d}_000019_leftImg8bit.png"
         path = os.path.join(img_dir, name)
-        Image.fromarray(g.integers(0, 255, (h, w, 3), np.uint8)
-                        .astype(np.uint8)).save(path)
-        ic_name = name.replace("leftImg8bit", "leftImg8bit_IC1")[:-8] + ".png"
-        Image.fromarray(g.integers(0, 255, (h, w), np.uint8)
-                        .astype(np.uint8)).save(os.path.join(ic_dir, ic_name))
         # blocky labels so RCS crops can find whole classes
         lbl = np.repeat(np.repeat(
             g.integers(0, 19, (h // 64, w // 64)).astype(np.uint8),
             64, axis=0), 64, axis=1)[:h, :w]
+        img = (_day_image(g, lbl) if learnable
+               else g.integers(0, 255, (h, w, 3), np.uint8).astype(np.uint8))
+        Image.fromarray(img).save(path)
+        ic_name = name.replace("leftImg8bit", "leftImg8bit_IC1")[:-8] + ".png"
+        Image.fromarray(g.integers(0, 255, (h, w), np.uint8)
+                        .astype(np.uint8)).save(os.path.join(ic_dir, ic_name))
         lbl_name = name.replace("leftImg8bit", "gtFine")[:-4] \
             + "_labelTrainIds.png"
         Image.fromarray(lbl).save(os.path.join(gt_dir, lbl_name))
@@ -67,20 +91,30 @@ def fabricate_cityscapes(root: str, n_images: int = 6,
 
 
 def fabricate_dsec_with_labels(root: str, n_frames: int = 8,
-                               events_per_window: int = 20000):
-    """bench_ingest's DSEC fabricator + a labels/ dir + test split txt."""
+                               events_per_window: int = 20000,
+                               learnable: bool = True):
+    """bench_ingest's DSEC fabricator + a labels/ dir + test split txt.
+    With ``learnable``, the warp/rectified frames are re-rendered as the
+    night-domain view of per-frame blocky labels (palette above)."""
     from tools.bench_ingest import fabricate_dsec
     g = np.random.default_rng(1)
     txt = fabricate_dsec(root, n_frames, events_per_window)
     seq_dir = os.path.join(root, "zurich_city_09_x")
     lbl_dir = os.path.join(seq_dir, "labels")
     os.makedirs(lbl_dir, exist_ok=True)
-    for i in range(1, n_frames):
+    for i in range(n_frames):
         lbl = np.repeat(np.repeat(
             g.integers(0, 19, (480 // 32, 640 // 32)).astype(np.uint8),
             32, axis=0), 32, axis=1)
-        Image.fromarray(lbl).save(os.path.join(
-            lbl_dir, f"zurich_city_09_x_{i:06d}_grey_gtFine_labelTrainIds.png"))
+        if learnable:
+            img = Image.fromarray(_night_image(g, lbl))
+            img.save(os.path.join(seq_dir, "warp_images", f"{i:06d}.png"))
+            img.save(os.path.join(seq_dir, "images", "left", "rectified",
+                                  f"{i:06d}.png"))
+        if i >= 1:
+            Image.fromarray(lbl).save(os.path.join(
+                lbl_dir,
+                f"zurich_city_09_x_{i:06d}_grey_gtFine_labelTrainIds.png"))
     rows = open(txt).read().splitlines()
     test_txt = os.path.join(root, "night_test_dataset_warp.txt")
     with open(test_txt, "w") as f:
@@ -89,7 +123,7 @@ def fabricate_dsec_with_labels(root: str, n_frames: int = 8,
 
 
 def fabricate_dark_zurich(root: str, n_images: int = 4,
-                          size=(480, 270)) -> str:
+                          size=(480, 270), learnable: bool = True) -> str:
     """rgb_anon/{train,val}/night + gt/val labelTrainIds (reference
     dark_zurich_ic.py layout)."""
     g = np.random.default_rng(2)
@@ -99,15 +133,16 @@ def fabricate_dark_zurich(root: str, n_images: int = 4,
         os.makedirs(img_dir, exist_ok=True)
         for i in range(n_images):
             name = f"seq01_frame_{i:06d}_rgb_anon.png"
-            Image.fromarray(g.integers(0, 255, (h, w, 3), np.uint8)
-                            .astype(np.uint8)).save(
-                os.path.join(img_dir, name))
+            lbl = np.repeat(np.repeat(
+                g.integers(0, 19, (h // 32 + 1, w // 32 + 1))
+                .astype(np.uint8), 32, axis=0), 32, axis=1)[:h, :w]
+            img = (_night_image(g, lbl) if learnable
+                   else g.integers(0, 255, (h, w, 3), np.uint8)
+                   .astype(np.uint8))
+            Image.fromarray(img).save(os.path.join(img_dir, name))
             if split == "val":
                 gt_dir = os.path.join(root, "gt", "val", "night", "seq01")
                 os.makedirs(gt_dir, exist_ok=True)
-                lbl = np.repeat(np.repeat(
-                    g.integers(0, 19, (h // 32 + 1, w // 32 + 1))
-                    .astype(np.uint8), 32, axis=0), 32, axis=1)[:h, :w]
                 # label path rule: rgb_anon->gt twice (dark_zurich.py
                 # _label_path): X_rgb_anon.png -> X_gt_labelTrainIds.png
                 Image.fromarray(lbl).save(os.path.join(
@@ -122,12 +157,18 @@ def main():
     ap.add_argument("--images", type=int, default=6)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--events-per-window", type=int, default=20000)
+    ap.add_argument("--unlearnable", action="store_true",
+                    help="pure-noise images (pre-r3 behavior) instead of "
+                         "the learnable class-keyed palette rendering")
     args = ap.parse_args()
+    learnable = not args.unlearnable
     cs = fabricate_cityscapes(os.path.join(args.root, "cityscapes"),
-                              args.images)
+                              args.images, learnable=learnable)
     train_txt, test_txt = fabricate_dsec_with_labels(
-        os.path.join(args.root, "dsec"), args.frames, args.events_per_window)
-    dz = fabricate_dark_zurich(os.path.join(args.root, "dark_zurich"))
+        os.path.join(args.root, "dsec"), args.frames,
+        args.events_per_window, learnable=learnable)
+    dz = fabricate_dark_zurich(os.path.join(args.root, "dark_zurich"),
+                               learnable=learnable)
     print(json.dumps({"cityscapes": cs, "target_txt": train_txt,
                       "val_txt": test_txt, "dark_zurich": dz}))
 
