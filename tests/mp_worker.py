@@ -59,7 +59,7 @@ def main():
 
     import numpy as np
     import jax.numpy as jnp
-    from cmda_tpu.config import tiny_test_config
+    from cmda_tpu.config import micro_test_config
     from cmda_tpu.data.synthetic import SyntheticTarget
     from cmda_tpu.parallel.mesh import (make_mesh, make_parallel_train_step,
                                         shard_batch_multihost)
@@ -67,7 +67,10 @@ def main():
     from cmda_tpu.uda.dacs import DACSTrainer
     from tests.test_dacs import synth_batch
 
-    cfg = tiny_test_config()
+    # micro config: each of the 3 subprocesses COMPILES the full DACS step
+    # on the 1-core sandbox — 1 block/stage at 32x32 keeps that cheap while
+    # exercising the identical coordination circuit (VERDICT r2 item 5)
+    cfg = micro_test_config()
     trainer = DACSTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
     mesh = make_mesh(n_data=n_global)
@@ -78,7 +81,8 @@ def main():
     for it in range(2):
         # every process derives the same GLOBAL batch, then feeds only its
         # local rows — the per-host loader-shard pattern on synthetic data
-        gb = synth_batch(it, b=n_global)
+        gb = synth_batch(it, b=n_global, h=cfg.data.crop_size[0],
+                         w=cfg.data.crop_size[1])
         local = jax.tree.map(
             lambda x: np.asarray(x)[pi * per_host:(pi + 1) * per_host], gb)
         batch = shard_batch_multihost(local, mesh)
