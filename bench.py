@@ -156,12 +156,16 @@ def main():
     ap.add_argument("--stacked-ce", action="store_true",
                     help="fold the 4 per-stream CEs into one stacked "
                          "resize+CE chain (uda.stacked_stream_ce; "
-                         "parity-tested — perf experiment, docs/PERF.md)")
+                         "parity-tested). MEASURED -8%% and +1.6 GB temp "
+                         "HBM at batch 8 on v5e — rejected as a default, "
+                         "see docs/PERF.md round-3 table")
     ap.add_argument("--split-transpose", action="store_true",
                     help="lax.scan _split_transpose on the encoder stages "
                          "(model.scan_split_transpose): separates the "
                          "backward recompute scan from the grad-stacking "
-                         "transpose scan")
+                         "transpose scan. MEASURED neutral (-0.06%%) at "
+                         "batch 8 — escape hatch if a future toolchain's "
+                         "fused schedule regresses (docs/PERF.md)")
     args = ap.parse_args()
 
     enable_compile_cache()
