@@ -43,7 +43,7 @@ from ..train.optim import make_optimizer
 from .transforms import (
     multi_stream_loss, pseudo_label_and_weight, downscale_label_ratio,
     masked_feat_dist, split_stream_loss, seg_label_to_edge_label,
-    feature_consistency_loss,
+    feature_consistency_loss, frozen_variables,
 )
 
 
@@ -228,7 +228,7 @@ class DACSTrainer:
         (reference dacs.py:328-355)."""
         u = self.cfg.uda
         f_imnet = self.imnet.apply(
-            {"params": state.imnet_params}, day_image,
+            frozen_variables(state.imnet_params), day_image,
             method=self.imnet.extract_feat)
         f_imnet = jax.lax.stop_gradient(f_imnet[-1])
         scale = day_label.shape[-1] // f_imnet.shape[2]

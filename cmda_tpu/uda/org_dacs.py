@@ -30,7 +30,8 @@ from ..ops.losses import weighted_cross_entropy, pixel_accuracy
 from ..ops.normalize import IMAGENET_MEAN, IMAGENET_STD
 from ..train.optim import make_optimizer
 from .transforms import (
-    pseudo_label_and_weight, downscale_label_ratio, masked_feat_dist)
+    pseudo_label_and_weight, downscale_label_ratio, masked_feat_dist,
+    frozen_variables)
 from .dacs import DACSTrainState
 
 
@@ -148,7 +149,7 @@ class OrgDACSTrainer:
             total = l_src + l_mix
             if self.enable_fdist:
                 f_imnet = self.imnet.apply(
-                    {"params": state.imnet_params}, day_image,
+                    frozen_variables(state.imnet_params), day_image,
                     method=self.imnet.extract_feat)
                 f_imnet = jax.lax.stop_gradient(f_imnet[-1])
                 scale = day_label.shape[-1] // f_imnet.shape[2]

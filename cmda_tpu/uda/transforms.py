@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from flax.core import FrozenDict
 
 from ..ops.losses import (
     weighted_cross_entropy, weighted_cross_entropy_stacked, pixel_accuracy)
@@ -185,6 +186,22 @@ def feature_consistency_loss(f_image, f_target, lam: float):
         loss = loss + jnp.mean((a.astype(jnp.float32)
                                 - b.astype(jnp.float32)) ** 2)
     return lam * loss
+
+
+def frozen_variables(params_or_vars):
+    """Normalize a frozen net's stored weights into a flax variables dict.
+
+    ``imnet_params``/``cyclegan_params`` historically hold bare ``params``
+    (sufficient for MiT — no BatchNorm). Legacy-grid backbones (ResNet/
+    ResNeXt/ResNeSt, reference experiments.py:277-396) carry running BN
+    statistics, so the frozen ImageNet feature-distance net must be applied
+    with its ``batch_stats`` collection too. Accepts either a bare params
+    pytree or a full ``{"params": ..., "batch_stats": ...}`` dict.
+    """
+    if isinstance(params_or_vars, (dict, FrozenDict)) \
+            and "params" in params_or_vars:
+        return params_or_vars
+    return {"params": params_or_vars}
 
 
 def masked_feat_dist(f_student, f_imnet, mask):

@@ -73,6 +73,29 @@ def test_legacy_uda_cfg_mapping():
     assert nowarm.optim.warmup_iters == 0
 
 
+def test_frozen_imnet_with_bn_backbone_applies():
+    """Regression: exp-5 combo *_fdthings_*_dlv2red_r101v1c failed because
+    the frozen ImageNet feature-distance net was applied with bare params —
+    eval-mode BatchNorm then read an empty batch_stats collection. The
+    trainers now route through uda.transforms.frozen_variables, which
+    accepts either bare params (MiT, no BN) or a full variables dict."""
+    import jax
+    import jax.numpy as jnp
+    from cmda_tpu.uda.transforms import frozen_variables
+
+    model = _legacy_model_builder("dlv2red", "r101v1c", 19)()
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables  # ResNet stem carries running stats
+    # full-variables path: frozen apply must succeed in eval mode
+    feats = model.apply(frozen_variables(variables), x,
+                        method=model.extract_feat)
+    assert len(feats) == 4
+    # bare-params path (MiT imnets) still wraps without copying
+    wrapped = frozen_variables(variables["params"])
+    assert wrapped["params"] is variables["params"]
+
+
 def test_legacy_model_builders_instantiate():
     # builders are zero-arg closures; constructing the flax module (no
     # init) proves every (arch, backbone) id in the tables resolves

@@ -413,9 +413,11 @@ def org_smoke_run(name, cfg, iters=2, eager=False, model_builder=None):
         # frozen "ImageNet" feature net: random stand-in for the smoke run
         # (real runs import torch weights via tools/train.py --imnet)
         h, w = cfg.data.crop_size
+        # keep the FULL variables dict: BN-bearing legacy backbones
+        # (ResNet/ResNeSt) need their batch_stats when applied frozen
         imnet = trainer.imnet.init(
             jax.random.PRNGKey(7),
-            jnp.zeros((1, h, w, 3), jnp.float32))["params"]
+            jnp.zeros((1, h, w, 3), jnp.float32))
     state = trainer.init_state(jax.random.PRNGKey(0), imnet_params=imnet)
     step = (trainer.train_step if eager
             else jax.jit(trainer.train_step, donate_argnums=()))
@@ -485,6 +487,9 @@ def main():
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"],
                     help="force a jax platform (eager grids on a remote TPU "
                          "pay a network round-trip per op — use cpu)")
+    ap.add_argument("--only", default=None,
+                    help="substring filter on combo names (grids 3-8): run "
+                         "only matching combos — debugging aid")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -523,6 +528,8 @@ def main():
     elif args.exp in (3, 4, 5, 6, 7, 8):
         for combo in legacy_table_grid(args.exp):
             name = combo["name"]
+            if args.only and args.only not in name:
+                continue
             try:
                 r = legacy_combo_run(combo, args.iters, eager=args.eager)
                 results[name] = {"ok": True, **r}
