@@ -105,6 +105,12 @@ def main():
                     help="write predicted trainId PNGs per frame")
     ap.add_argument("--output-type", default="fusion",
                     choices=["fusion", "image", "events"])
+    ap.add_argument("--transfer-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="dtype of the host->device frame transfer; bfloat16 "
+                         "halves the bytes over the host link (PCIe, or the "
+                         "axon tunnel here) — the model computes in bf16 "
+                         "anyway, so only the input rounding changes")
     ap.add_argument("--set", nargs="*", default=[])
     args = ap.parse_args()
 
@@ -139,19 +145,38 @@ def main():
     sequences = sorted({str(r[0]).split("/")[-5] if len(str(r[0]).split("/")) >= 5
                         else "seq" for r in dataset.rows[:n]})
 
+    # variables MUST be a jit argument, not a closure: closed-over weights
+    # are baked into the HLO as literal constants, which bloats the program
+    # (b5: hundreds of MB) past the axon remote-compile service's request
+    # body limit (HTTP 413) and would re-trigger compilation per checkpoint.
     @jax.jit
-    def infer(image, events):
+    def infer_v(variables, image, events):
         logits = trainer.model.apply(variables, image, events, None,
                                      mode="default", output=args.output_type)
         return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
+    variables = jax.device_put(variables)
+    if args.transfer_dtype == "bfloat16":
+        from ml_dtypes import bfloat16 as wire_dtype
+    else:
+        wire_dtype = np.float32
+
+    def infer(image, events):
+        return infer_v(variables, image, events)
+
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
 
-    # warm the compile outside the timed stream (first frame's shape)
+    # Warm the compile AND first execution outside the timed stream. The
+    # warmup must end in a host fetch (np.asarray), not block_until_ready:
+    # over the axon tunnel block_until_ready returns before the remote
+    # executable's first run actually completes (docs/PERF.md timing rule),
+    # which would push a one-time ~200 s upload+first-exec stall into the
+    # timed region.
     first = dataset[0]
-    b0 = jnp.zeros((args.batch,) + first["image"].shape, jnp.float32)
-    jax.block_until_ready(infer(b0, b0))
+    b0 = jnp.asarray(np.zeros((args.batch,) + first["image"].shape,
+                              wire_dtype))
+    np.asarray(infer(b0, b0))
 
     stream = iter(OrderedPrefetcher(dataset, n, workers=args.workers))
     inflight = []          # (pred_device, frame_indices) pipeline, depth 2
@@ -167,8 +192,8 @@ def main():
         while len(images) < args.batch:      # pad tail to the compiled shape
             images.append(images[-1])
             events.append(events[-1])
-        pred = infer(jnp.asarray(np.stack(images)),
-                     jnp.asarray(np.stack(events)))
+        pred = infer(jnp.asarray(np.stack(images).astype(wire_dtype)),
+                     jnp.asarray(np.stack(events).astype(wire_dtype)))
         inflight.append((pred, list(idxs), real))
         images, events, idxs = [], [], []
         while len(inflight) > 2:             # bound the pipeline
@@ -204,6 +229,7 @@ def main():
         "ms_per_frame": round(1e3 * dt / frames, 2),
         "events_per_s": int(sum(counts) / dt),
         "batch": args.batch, "output": args.output_type,
+        "transfer_dtype": args.transfer_dtype,
         "out_dir": args.out_dir,
     }))
     # loader threads + the TPU client hang at interpreter teardown
