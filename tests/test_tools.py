@@ -234,3 +234,49 @@ def test_stream_infer_prefetcher_and_event_rate(tmp_path):
                      [str(seq / "000003.png"), "0"]])
     assert event_counts(rows, 1) == [100, 200]
     assert event_counts(rows[1:], 2) == [350]
+
+
+def test_stream_infer_main_end_to_end(tmp_path, monkeypatch, capsys):
+    """tools/stream_infer.py main(): full serving circuit on the fabricated
+    DSEC corpus — threaded decode -> voxel/ISR -> tiny fusion forward ->
+    ordered PNG writes — for both wire dtypes. The bfloat16 transfer path
+    (--transfer-dtype, a host-link bandwidth lever: docs/PERF.md streaming
+    section) must produce predictions that overwhelmingly agree with the
+    float32 path (argmax can flip only near exact logit ties)."""
+    from PIL import Image
+    from tools import stream_infer as SI
+    from tools.make_fake_corpus import fabricate_dsec_with_labels
+
+    # events_per_window * n_frames must exceed the fabricator's 65536-row
+    # h5 chunk shape
+    _, test_txt = fabricate_dsec_with_labels(
+        str(tmp_path / "dsec"), n_frames=5, events_per_window=15000)
+    txt = os.path.join(str(tmp_path / "dsec"), "night_dataset_warp.txt")
+
+    # main() ends in os._exit (TPU-client teardown hang guard); in-process
+    # we want a catchable exit instead.
+    monkeypatch.setattr(os, "_exit", sys.exit)
+
+    results = {}
+    for wire in ("float32", "bfloat16"):
+        out_dir = tmp_path / f"preds_{wire}"
+        monkeypatch.setattr(sys, "argv", [
+            "stream_infer.py", "--target-txt", txt, "--config", "tiny",
+            "--batch", "2", "--workers", "2", "--transfer-dtype", wire,
+            "--out-dir", str(out_dir)])
+        with pytest.raises(SystemExit):
+            SI.main()
+        line = [l for l in capsys.readouterr().out.splitlines()
+                if l.startswith("{")][-1]
+        results[wire] = json.loads(line)
+        pngs = sorted(out_dir.glob("*_labelTrainIds.png"))
+        assert len(pngs) == results[wire]["frames"]
+        preds = np.stack([np.asarray(Image.open(p)) for p in pngs])
+        assert preds.shape[1:] == (440, 640) and preds.max() < 19
+        results[wire]["preds"] = preds
+
+    for r in results.values():
+        assert r["fps"] > 0 and r["frames"] == 4  # 5 frames - 1 (idx >= 1)
+    agree = (results["float32"]["preds"]
+             == results["bfloat16"]["preds"]).mean()
+    assert agree > 0.8, f"wire-dtype prediction agreement only {agree:.2%}"
