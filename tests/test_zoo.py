@@ -125,12 +125,12 @@ def test_segformer_adapter_neck():
     out2 = neck2.apply({}, feats)
     assert out2[-1].shape == (1, 8, 8, 24 + 32)
 
-    # the grid entry end-to-end (2 supervised iterations)
+    # the grid entry end-to-end (2 supervised iterations) — the grid now
+    # yields (name, zero-arg builder) pairs; the sfa_ builder wires the
+    # adapter neck internally (_legacy_model_builder)
     from tools.run_experiments import (legacy_architecture_grid,
                                        supervised_smoke)
-    name, backbone, head, adapter = next(
+    name, builder = next(
         c for c in legacy_architecture_grid() if c[0].startswith("sfa_"))
-    assert adapter is not None
-    loss = supervised_smoke(name, backbone, head, iters=2, hw=32,
-                            neck=adapter)
+    loss = supervised_smoke(name, builder, iters=2, hw=32)
     assert np.isfinite(loss)
