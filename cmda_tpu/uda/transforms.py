@@ -198,8 +198,10 @@ def frozen_variables(params_or_vars):
     with its ``batch_stats`` collection too. Accepts either a bare params
     pytree or a full ``{"params": ..., "batch_stats": ...}`` dict.
     """
+    known = {"params", "batch_stats"}
     if isinstance(params_or_vars, (dict, FrozenDict)) \
-            and "params" in params_or_vars:
+            and "params" in params_or_vars \
+            and set(params_or_vars.keys()) <= known:
         return params_or_vars
     return {"params": params_or_vars}
 

@@ -176,7 +176,13 @@ def main():
     first = dataset[0]
     b0 = jnp.asarray(np.zeros((args.batch,) + first["image"].shape,
                               wire_dtype))
-    np.asarray(infer(b0, b0))
+    # Events get their OWN warmup array shaped from the real sample: if
+    # events_bins ever yields a channel count != the image's, reusing the
+    # image-shaped zeros would leave the real shape uncompiled and push the
+    # ~200 s compile+upload stall into the first timed batch.
+    e0 = jnp.asarray(np.zeros((args.batch,) + first["events"].shape,
+                              wire_dtype))
+    np.asarray(infer(b0, e0))
 
     stream = iter(OrderedPrefetcher(dataset, n, workers=args.workers))
     inflight = []          # (pred_device, frame_indices) pipeline, depth 2
