@@ -47,7 +47,8 @@ def enable_compile_cache():
 def run(batch_size: int, steps: int = 10, warmup: int = 3,
         remat: str = "block", moments: str = "float32",
         head_batched: bool = False, fused_resize: bool = False,
-        stacked_ce: bool = False, split_transpose: bool = False):
+        stacked_ce: bool = False, split_transpose: bool = False,
+        pallas_ce: bool = False, teacher_bf16: bool = False):
     import sys
     import jax
     import jax.numpy as jnp
@@ -67,7 +68,9 @@ def run(batch_size: int, steps: int = 10, warmup: int = 3,
                   data=replace(cfg.data, batch_size=batch_size),
                   optim=replace(cfg.optim, moment_dtype=moments),
                   uda=replace(cfg.uda, use_cyclegan_day_events=True,
-                              stacked_stream_ce=stacked_ce))
+                              stacked_stream_ce=stacked_ce,
+                              pallas_ce=pallas_ce,
+                              teacher_bf16=teacher_bf16))
     trainer = DACSTrainer(cfg)
     state = trainer.init_state(jax.random.PRNGKey(0))
     step = trainer.jit_train_step(donate=True)
@@ -153,6 +156,15 @@ def main():
                          "reports hbm_temp_gb_nonfused / _delta so the "
                          "flag self-documents whether it currently helps "
                          "(docs/PERF.md)")
+    ap.add_argument("--pallas-ce", action="store_true",
+                    help="fused Pallas upsample+CE kernel on every stream "
+                         "CE (uda.pallas_ce; ops/pallas_ce.py, parity-"
+                         "tested values+grads): the [B,512,512,19] resized "
+                         "logits never touch HBM in fwd or bwd")
+    ap.add_argument("--teacher-bf16", action="store_true",
+                    help="teacher forward reads a bf16 cast of the EMA "
+                         "weights (uda.teacher_bf16); EMA accumulation "
+                         "stays f32")
     ap.add_argument("--stacked-ce", action="store_true",
                     help="fold the 4 per-stream CEs into one stacked "
                          "resize+CE chain (uda.stacked_stream_ce; "
@@ -182,7 +194,9 @@ def main():
                  head_batched=args.head_batched,
                  fused_resize=args.fused_resize,
                  stacked_ce=args.stacked_ce,
-                 split_transpose=args.split_transpose)
+                 split_transpose=args.split_transpose,
+                 pallas_ce=args.pallas_ce,
+                 teacher_bf16=args.teacher_bf16)
                 batch_size = bs
                 break
             except Exception as e:

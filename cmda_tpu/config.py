@@ -88,6 +88,15 @@ class UDAConfig:
     # fold the 4 per-stream CEs into one stacked resize+CE kernel chain
     # (same math, parity-tested; perf lever — see docs/PERF.md)
     stacked_stream_ce: bool = False
+    # route the per-stream upsample+CE through the fused Pallas kernel
+    # (ops/pallas_ce.py, TPU only; parity-tested values+grads): the
+    # [B,H,W,C] resized logits never materialize in HBM.  See docs/PERF.md
+    # for the measured effect.
+    pallas_ce: bool = False
+    # feed the (pure-inference) teacher forward a bfloat16 cast of the EMA
+    # weights; EMA accumulation itself stays float32.  Perf lever — see
+    # docs/PERF.md for the measured effect and the pseudo-label drift bound.
+    teacher_bf16: bool = False
     # events-vs-ISR per-iteration coin
     random_choice_thres: float | str = 0.5   # float, or 'a-b' linear schedule
     # mixed-image -> mixed-ISR recomputation

@@ -1,282 +1,412 @@
-"""Pallas TPU kernel: fused bilinear-upsample + weighted softmax-CE.
+"""Pallas TPU kernel: fused integer-factor bilinear upsample + softmax CE.
 
-The reference loss path (mmseg/models/decode_heads/decode_head.py:221-239 /
-:592-596) bilinearly resizes the stride-4 logits to label resolution and
-runs weighted cross-entropy on the result.  Under XLA that materializes the
-[B, 512, 512, 19] f32 upsampled logits in HBM (≈160 MB per stream at
-batch 8) between the resize dot_generals and the softmax chain — in the
-forward pass, and AGAIN in the backward recompute (the loss is wrapped in
-``jax.checkpoint`` to keep those tensors off the peak; docs/PERF.md).
+The reference loss path (reference mmseg/models/decode_heads/decode_head.py:
+221-239 + mmseg/models/losses/cross_entropy_loss.py:11-34) bilinearly
+upsamples the stride-4 logits to label resolution and takes the mean
+weighted per-pixel cross-entropy.  As XLA ops this materializes the
+[B, H, W, C] f32 resized logits in HBM several times per step (resize out,
+softmax, select, reduce — the ~7% CE/loss trace bucket, docs/PERF.md).
 
-This kernel keeps the upsampled logits entirely in VMEM: per (batch, row
-tile) grid step it
-  1. expands the stride-4 logits along W once per image via an MXU matmul
-     with the fixed half-pixel interpolation matrix (cached in VMEM
-     scratch),
-  2. expands a row tile along H with a second matmul,
-  3. immediately computes max/exp/sum softmax-CE, the label select (one-hot
-     compare + reduce — never a gather), the validity/weight masking and
-     the argmax-accuracy count, and
-  4. accumulates scalar partials into an SMEM output.
-The custom VJP runs the mirror kernel: recompute the row tile, form
-(softmax - onehot) * weight * cotangent, and contract back through the two
-interpolation matrices — the full-resolution tensor never touches HBM in
-either direction.
+``fused_resize_ce`` computes the SAME scalar without the fine logits ever
+touching HBM, in either direction:
 
-Interpolation matches ``ops.resize.resize_bilinear`` (align_corners=False
-half-pixel, edge clamp == jax.image.resize(method='linear',
-antialias=False) for upsampling) to float roundoff; CE semantics match
-``ops.losses.weighted_cross_entropy`` (zero loss at ignore_index, mean over
-ALL pixels); accuracy matches ``ops.losses.pixel_accuracy``.  Parity-tested
-in tests/test_pallas.py (interpret mode on CPU, values + gradients).
+* The x``f`` half-pixel bilinear upsample decomposes by PHASE: output pixel
+  ``o = f*i + p`` is a fixed two-tap blend of coarse pixels ``i-1/i/i+1``
+  with weights depending only on ``p`` (the same weights as
+  ``ops.resize.phase_upsample_bilinear``, parity-tested there against
+  ``jax.image.resize``).  The kernel walks the ``f_h`` row phases on the
+  grid and the ``f_w`` column phases in-register, reducing each phase
+  sub-image's weighted NLL on the fly.
+* Layout: the class axis is moved OFF the lane dimension ([B, C, h, w];
+  19 classes on lanes would pad 19->128).  Per-class [h, w] planes tile
+  the VPU exactly; class loops are ``fori_loop``s over the leading dim.
+* Labels/weights are re-tiled once, outside the kernel, into phase-major
+  [B, f_h, f_w, h, w] so the kernel never does strided lane access.
+* Backward is a second kernel (custom_vjp): recomputes the phase logits
+  in VMEM, forms ``(softmax - onehot) * coeff`` and applies the TRANSPOSE
+  of the two-tap blends (shift-adds with edge accumulation).  The grad of
+  the pixel-weight map is a third, separate kernel so XLA dead-code
+  eliminates it when (as in DACS — pseudo-weights are stop-gradient) the
+  weight cotangent is unused.
+
+Numerics match ``weighted_cross_entropy(resize_bilinear(x, size), ...)``
+to float32 roundoff in values AND gradients (tests/test_pallas.py).
 """
 from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-# Opt-in perf lever (docs/PERF.md round-4 table): route multi_stream_loss's
-# resize+CE through the fused kernel.  Read at trace time; toggling clears
-# the jit caches so late flips retrace (same pattern as
-# ops.resize.set_fused_int_upsample).  Production gate additionally
-# requires a TPU backend; tests force the interpret path on CPU.
-_FUSED_CE = False
-_FUSED_CE_INTERPRET = False
+def _phase_weights(p, f):
+    """Two-tap blend weights (w_prev, w_self, w_next) for phase ``p`` of an
+    integer-factor-``f`` half-pixel upsample.  ``p`` may be a traced scalar
+    (row phases ride the grid) or a Python int (column phases unroll)."""
+    if isinstance(p, int):
+        d = (p + 0.5) / f - 0.5
+        return max(-d, 0.0), 1.0 - abs(d), max(d, 0.0)
+    d = (p.astype(jnp.float32) + 0.5) / f - 0.5
+    wp = jnp.maximum(-d, 0.0)
+    wn = jnp.maximum(d, 0.0)
+    return wp, 1.0 - wp - wn, wn
 
 
-def set_fused_upsample_ce(enabled: bool, *, interpret: bool = False) -> None:
-    """Toggle the fused Pallas upsample+CE path globally.
-
-    ``interpret=True`` (tests only) routes even off-TPU, running the kernel
-    in the Pallas interpreter."""
-    global _FUSED_CE, _FUSED_CE_INTERPRET
-    enabled, interpret = bool(enabled), bool(interpret)
-    if (enabled, interpret) != (_FUSED_CE, _FUSED_CE_INTERPRET):
-        _FUSED_CE, _FUSED_CE_INTERPRET = enabled, interpret
-        jax.clear_caches()
+def _row_prev(x):
+    return jnp.concatenate([x[:1], x[:-1]], axis=0)
 
 
-def fused_ce_mode():
-    """None when the fused path is off / unsupported on this backend;
-    otherwise {"interpret": bool} for fused_upsample_ce."""
-    if not _FUSED_CE:
-        return None
-    if _FUSED_CE_INTERPRET:
-        return {"interpret": True}
-    if jax.default_backend() != "tpu":
-        return None
-    return {"interpret": False}
+def _row_next(x):
+    return jnp.concatenate([x[1:], x[-1:]], axis=0)
 
 
-def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
-    """[n_out, n_in] half-pixel linear interpolation weights (edge-clamped),
-    the matrix form of ops.resize._phase_upsample_axis's two-tap blend."""
-    y = np.arange(n_out, dtype=np.float64)
-    src = (y + 0.5) * (n_in / n_out) - 0.5
-    i0 = np.floor(src).astype(np.int64)
-    t = src - i0
-    m = np.zeros((n_out, n_in), np.float64)
-    lo = np.clip(i0, 0, n_in - 1)
-    hi = np.clip(i0 + 1, 0, n_in - 1)
-    np.add.at(m, (y.astype(np.int64), lo), 1.0 - t)
-    np.add.at(m, (y.astype(np.int64), hi), t)
-    return m.astype(np.float32)
+def _col_prev(x):
+    return jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
 
 
-def _row_tile(H: int) -> int:
-    for ht in (32, 16, 8, 4, 2, 1):
-        if H % ht == 0:
-            return ht
-    return 1
+def _col_next(x):
+    return jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
 
 
-def _fwd_kernel(z_ref, aw_ref, ah_ref, lbl_ref, wgt_ref, out_ref, zw_ref,
-                *, ignore_index: int):
-    t = pl.program_id(1)
+def _shift_t_prev(dy, axis):
+    """Transpose of the clamped prev-shift y[j] = x[max(j-1, 0)]."""
+    n = dy.shape[axis]
+    sl = lambda a, b: jax.lax.slice_in_dim(dy, a, b, axis=axis)
+    head = sl(0, 1) + sl(1, 2)
+    tail = jnp.zeros_like(sl(0, 1))
+    return jnp.concatenate([head, sl(2, n), tail], axis=axis)
 
-    @pl.when(t == 0)
+
+def _shift_t_next(dy, axis):
+    """Transpose of the clamped next-shift y[j] = x[min(j+1, n-1)]."""
+    n = dy.shape[axis]
+    sl = lambda a, b: jax.lax.slice_in_dim(dy, a, b, axis=axis)
+    head = jnp.zeros_like(sl(0, 1))
+    tail = sl(n - 2, n - 1) + sl(n - 1, n)
+    return jnp.concatenate([head, sl(0, n - 2), tail], axis=axis)
+
+
+def _fill_phase_logits(x_ref, z_ref, wr, wq, num_classes, h, w):
+    """z_ref[c] <- phase (p, q) sub-image of upsample(x) per class; returns
+    the running class max.  wr = traced row weights, wq = static col."""
+    wpr, wsr, wnr = wr
+    wpq, wsq, wnq = wq
+
+    def fill(c, m):
+        xc = x_ref[0, c]
+        r = wsr * xc + wpr * _row_prev(xc) + wnr * _row_next(xc)
+        z = wsq * r
+        if wpq:
+            z = z + wpq * _col_prev(r)
+        if wnq:
+            z = z + wnq * _col_next(r)
+        z_ref[c] = z
+        return jnp.maximum(m, z)
+
+    return jax.lax.fori_loop(
+        0, num_classes, fill, jnp.full((h, w), -jnp.inf, jnp.float32))
+
+
+def _ce_fwd_kernel(x_ref, lbl_ref, wgt_ref, out_ref, z_ref, *,
+                   fh, fw, num_classes, ignore_index, has_weight):
+    p = pl.program_id(1)
+    wr = _phase_weights(p, fh)
+    h, w = x_ref.shape[2], x_ref.shape[3]
+    total = jnp.zeros((), jnp.float32)
+    for q in range(fw):
+        m = _fill_phase_logits(x_ref, z_ref, wr, _phase_weights(q, fw),
+                               num_classes, h, w)
+        lbl = lbl_ref[0, 0, q]
+
+        def reduce_body(c, carry):
+            s, zsel = carry
+            z = z_ref[c]
+            return (s + jnp.exp(z - m),
+                    zsel + jnp.where(lbl == c, z, 0.0))
+
+        s, zsel = jax.lax.fori_loop(
+            0, num_classes, reduce_body,
+            (jnp.zeros((h, w), jnp.float32), jnp.zeros((h, w), jnp.float32)))
+        nll = jnp.where(lbl != ignore_index, m + jnp.log(s) - zsel, 0.0)
+        if has_weight:
+            nll = nll * wgt_ref[0, 0, q]
+        total = total + jnp.sum(nll)
+    out_ref[0, 0, 0, 0] = total
+
+
+def _ce_bwd_kernel(g_ref, x_ref, lbl_ref, wgt_ref, dx_ref, z_ref, dr_ref, *,
+                   fh, fw, num_classes, ignore_index, has_weight):
+    p = pl.program_id(1)
+    wpr, wsr, wnr = _phase_weights(p, fh)
+    h, w = x_ref.shape[2], x_ref.shape[3]
+    gs = g_ref[0, 0]
+
+    @pl.when(p == 0)
     def _():
-        z = z_ref[:].astype(jnp.float32)                       # [h, C, w]
-        zw_ref[:] = jax.lax.dot_general(                       # [h, C, W]
-            z, aw_ref[:], (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dx_ref[...] = jnp.zeros(dx_ref.shape, dx_ref.dtype)
 
-    zt = jax.lax.dot_general(                                  # [Ht, C, W]
-        ah_ref[:], zw_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    lbl = lbl_ref[:]                                           # [Ht, W]
-    valid = lbl != ignore_index
-    m = jnp.max(zt, axis=1)
-    lse = jnp.log(jnp.sum(jnp.exp(zt - m[:, None, :]), axis=1)) + m
-    cls = jax.lax.broadcasted_iota(jnp.int32, zt.shape, 1)
-    onehot = (cls == jnp.where(valid, lbl, 0)[:, None, :]
-              ).astype(jnp.float32)
-    sel = jnp.sum(zt * onehot, axis=1)
-    nll = jnp.where(valid, lse - sel, 0.0) * wgt_ref[:]
-    correct = jnp.sum(jnp.where(
-        (jnp.argmax(zt, axis=1) == lbl) & valid, 1.0, 0.0))
+    for q in range(fw):
+        wq = _phase_weights(q, fw)
+        wpq, wsq, wnq = wq
+        m = _fill_phase_logits(x_ref, z_ref, (wpr, wsr, wnr), wq,
+                               num_classes, h, w)
 
-    @pl.when(t == 0)
-    def _():
-        out_ref[0] = 0.0
-        out_ref[1] = 0.0
+        def sum_body(c, s):
+            return s + jnp.exp(z_ref[c] - m)
 
-    out_ref[0] += jnp.sum(nll)
-    out_ref[1] += correct
+        s = jax.lax.fori_loop(0, num_classes, sum_body,
+                              jnp.zeros((h, w), jnp.float32))
+        lse = m + jnp.log(s)
+        lbl = lbl_ref[0, 0, q]
+        coef = jnp.where(lbl != ignore_index, gs, 0.0)
+        if has_weight:
+            coef = coef * wgt_ref[0, 0, q]
 
+        def grad_body(c, _):
+            z = z_ref[c]
+            dz = (jnp.exp(z - lse)
+                  - (lbl == c).astype(jnp.float32)) * coef
+            contrib = wsq * dz
+            if wpq:
+                contrib = contrib + wpq * _shift_t_prev(dz, 1)
+            if wnq:
+                contrib = contrib + wnq * _shift_t_next(dz, 1)
+            if q == 0:
+                dr_ref[c] = contrib
+            else:
+                dr_ref[c] = dr_ref[c] + contrib
+            return 0
 
-def _bwd_kernel(g_ref, z_ref, aw_ref, ah_ref, lbl_ref, wgt_ref, dz_ref,
-                zw_ref, p_ref, *, ignore_index: int):
-    t = pl.program_id(1)
+        jax.lax.fori_loop(0, num_classes, grad_body, 0)
 
-    @pl.when(t == 0)
-    def _():
-        z = z_ref[:].astype(jnp.float32)
-        zw_ref[:] = jax.lax.dot_general(
-            z, aw_ref[:], (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        p_ref[:] = jnp.zeros_like(p_ref)
+    def row_t_body(c, _):
+        dr = dr_ref[c]
+        out = (wsr * dr + wpr * _shift_t_prev(dr, 0)
+               + wnr * _shift_t_next(dr, 0))
+        dx_ref[0, c] = dx_ref[0, c] + out
+        return 0
 
-    zt = jax.lax.dot_general(
-        ah_ref[:], zw_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                    # [Ht, C, W]
-    lbl = lbl_ref[:]
-    valid = lbl != ignore_index
-    m = jnp.max(zt, axis=1, keepdims=True)
-    e = jnp.exp(zt - m)
-    softmax = e / jnp.sum(e, axis=1, keepdims=True)
-    cls = jax.lax.broadcasted_iota(jnp.int32, zt.shape, 1)
-    onehot = (cls == jnp.where(valid, lbl, 0)[:, None, :]
-              ).astype(jnp.float32)
-    coef = (jnp.where(valid, wgt_ref[:], 0.0) * g_ref[0, 0])[:, None, :]
-    dzt = (softmax - onehot) * coef
-    p_ref[:] += jax.lax.dot_general(                           # [h, C, W]
-        ah_ref[:], dzt, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    @pl.when(t == pl.num_programs(1) - 1)
-    def _():
-        dz = jax.lax.dot_general(                              # [h, C, w]
-            p_ref[:], aw_ref[:], (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dz_ref[:] = dz.astype(dz_ref.dtype)
+    jax.lax.fori_loop(0, num_classes, row_t_body, 0)
 
 
-def _cost(b, h, w, c, H, W, transcendentals: bool):
-    flops = 2 * b * (h * c * w * W + H * h * c * W)
-    return pl.CostEstimate(
-        flops=flops, bytes_accessed=b * (h * w * c * 4 + 2 * H * W * 4),
-        transcendentals=b * H * W * c if transcendentals else 0)
+def _ce_dw_kernel(g_ref, x_ref, lbl_ref, dw_ref, z_ref, *,
+                  fh, fw, num_classes, ignore_index):
+    """d(loss)/d(weight map) = per-pixel unweighted NLL * g / N,
+    phase-major output (separate call: DCE'd when the cotangent is unused)."""
+    p = pl.program_id(1)
+    wr = _phase_weights(p, fh)
+    h, w = x_ref.shape[2], x_ref.shape[3]
+    gs = g_ref[0, 0]
+    for q in range(fw):
+        m = _fill_phase_logits(x_ref, z_ref, wr, _phase_weights(q, fw),
+                               num_classes, h, w)
+        lbl = lbl_ref[0, 0, q]
+
+        def reduce_body(c, carry):
+            s, zsel = carry
+            z = z_ref[c]
+            return (s + jnp.exp(z - m),
+                    zsel + jnp.where(lbl == c, z, 0.0))
+
+        s, zsel = jax.lax.fori_loop(
+            0, num_classes, reduce_body,
+            (jnp.zeros((h, w), jnp.float32), jnp.zeros((h, w), jnp.float32)))
+        dw_ref[0, 0, q] = jnp.where(
+            lbl != ignore_index, (m + jnp.log(s) - zsel) * gs, 0.0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _ce_sums(z2, label, weight, ignore_index, interpret):
-    out, _ = _ce_sums_fwd(z2, label, weight, ignore_index, interpret)
-    return out
+# ---------------------------------------------------------------------------
+# host-side plumbing
+# ---------------------------------------------------------------------------
+
+def _factors(logits, labels):
+    b, h, w, _ = logits.shape
+    bh, bw = labels.shape[1], labels.shape[2]
+    if bh % h or bw % w:
+        raise ValueError(f"{logits.shape} -> {labels.shape} is not an "
+                         "integer-factor upsample")
+    return bh // h, bw // w
 
 
-def _ce_sums_fwd(z2, label, weight, ignore_index, interpret):
-    b, h, c, w = z2.shape
-    H, W = label.shape[1:3]
-    ht = _row_tile(H)
-    aw = jnp.asarray(_interp_matrix(w, W).T)                   # [w, W]
-    ah = jnp.asarray(_interp_matrix(h, H))                     # [H, h]
-    out = pl.pallas_call(
-        partial(_fwd_kernel, ignore_index=ignore_index),
-        grid=(b, H // ht),
-        in_specs=[
-            pl.BlockSpec((None, h, c, w), lambda i, t: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, W), lambda i, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ht, h), lambda i, t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, ht, W), lambda i, t: (i, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, ht, W), lambda i, t: (i, t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, 2), lambda i, t: (i, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 2), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((h, c, W), jnp.float32)],
-        cost_estimate=_cost(b, h, w, c, H, W, True),
-        interpret=interpret,
-    )(z2, aw, ah, label, weight)
-    sums = jnp.sum(out, axis=0)
-    return (sums[0], sums[1]), (z2, label, weight)
+def _phase_major(a, fh, fw):
+    """[B, H, W] -> [B, fh, fw, h, w] with ph[b,p,q,i,j] = a[b, i*fh+p, j*fw+q]."""
+    b = a.shape[0]
+    h, w = a.shape[1] // fh, a.shape[2] // fw
+    return a.reshape(b, h, fh, w, fw).transpose(0, 2, 4, 1, 3)
 
 
-def _ce_sums_bwd(ignore_index, interpret, res, g):
-    z2, label, weight = res
-    g_sum = jnp.asarray(g[0], jnp.float32).reshape(1, 1)
-    b, h, c, w = z2.shape
-    H, W = label.shape[1:3]
-    ht = _row_tile(H)
-    aw = jnp.asarray(_interp_matrix(w, W).T)
-    ah = jnp.asarray(_interp_matrix(h, H))
-    dz2 = pl.pallas_call(
-        partial(_bwd_kernel, ignore_index=ignore_index),
-        grid=(b, H // ht),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i, t: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, h, c, w), lambda i, t: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, W), lambda i, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ht, h), lambda i, t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, ht, W), lambda i, t: (i, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, ht, W), lambda i, t: (i, t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, h, c, w), lambda i, t: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(z2.shape, z2.dtype),
-        scratch_shapes=[pltpu.VMEM((h, c, W), jnp.float32),
-                        pltpu.VMEM((h, c, W), jnp.float32)],
-        cost_estimate=_cost(b, h, w, c, H, W, True),
-        interpret=interpret,
-    )(g_sum, z2, aw, ah, label, weight)
-    return dz2, None, None
+def _phase_major_inv(ph):
+    b, fh, fw, h, w = ph.shape
+    return ph.transpose(0, 3, 1, 4, 2).reshape(b, h * fh, w * fw)
 
 
-_ce_sums.defvjp(_ce_sums_fwd, _ce_sums_bwd)
-
-
-def fused_upsample_ce(logits: jax.Array, label: jax.Array,
-                      weight: jax.Array | None = None, *,
-                      ignore_index: int = 255,
-                      interpret: bool = False):
-    """Mean weighted CE of logits bilinearly upsampled to ``label``'s
-    resolution, plus top-1 pixel accuracy (%) of the upsampled logits.
-
-    Drop-in fusion of ``weighted_cross_entropy(resize_bilinear(logits,
-    label.shape[1:3]), label, weight)`` and ``pixel_accuracy`` — without
-    ever materializing the upsampled logits in HBM.  ``weight`` receives no
-    gradient (it never does in practice: pseudo-label weights come from the
-    stop-gradded teacher) — enforced with an explicit stop_gradient.
-
-    Returns ``(loss, acc)``.
-    """
+def _common(logits, labels, fh, fw):
     b, h, w, c = logits.shape
-    H, W = label.shape[1:3]
-    z2 = jnp.transpose(logits, (0, 1, 3, 2))                   # [B, h, C, w]
-    label = label.astype(jnp.int32)
-    if weight is None:
-        weight = jnp.ones((b, H, W), jnp.float32)
+    xt = jnp.transpose(logits.astype(jnp.float32), (0, 3, 1, 2))
+    lbl = _phase_major(labels.astype(jnp.int32), fh, fw)
+    x_spec = pl.BlockSpec((1, c, h, w), lambda i, p: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    ph_spec = pl.BlockSpec((1, 1, fw, h, w), lambda i, p: (i, p, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return xt, lbl, x_spec, ph_spec
+
+
+def _fwd_call(logits, labels, weight, ignore_index, interpret):
+    fh, fw = _factors(logits, labels)
+    b, h, w, c = logits.shape
+    xt, lbl, x_spec, ph_spec = _common(logits, labels, fh, fw)
+    kernel = partial(_ce_fwd_kernel, fh=fh, fw=fw, num_classes=c,
+                     ignore_index=ignore_index, has_weight=weight is not None)
+    in_specs = [x_spec, ph_spec]
+    args = [xt, lbl]
+    if weight is not None:
+        in_specs.append(ph_spec)
+        args.append(_phase_major(weight.astype(jnp.float32), fh, fw))
     else:
-        weight = jax.lax.stop_gradient(
-            jnp.broadcast_to(weight, (b, H, W)).astype(jnp.float32))
-    nll_sum, correct = _ce_sums(z2, label, weight, int(ignore_index),
-                                bool(interpret))
-    n = b * H * W
-    return nll_sum / n, 100.0 * correct / n
+        kernel = partial(_nw_adapter, kernel)
+    partials = pl.pallas_call(
+        kernel,
+        grid=(b, fh),
+        in_specs=in_specs,
+        # trailing (1, 1) dims: the Mosaic block rule wants the last two
+        # block dims divisible by (8, 128) or equal to the array dims
+        out_specs=pl.BlockSpec((1, 1, 1, 1), lambda i, p: (i, p, 0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((b, fh, 1, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c, h, w), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return jnp.sum(partials) / (b * h * fh * w * fw)
+
+
+def _nw_adapter(kernel, x_ref, lbl_ref, *rest):
+    return kernel(x_ref, lbl_ref, None, *rest)
+
+
+def _bwd_dx_call(g, logits, labels, weight, ignore_index, interpret):
+    fh, fw = _factors(logits, labels)
+    b, h, w, c = logits.shape
+    xt, lbl, x_spec, ph_spec = _common(logits, labels, fh, fw)
+    gs = jnp.reshape(g.astype(jnp.float32) / (b * h * fh * w * fw), (1, 1))
+    kernel = partial(_ce_bwd_kernel, fh=fh, fw=fw, num_classes=c,
+                     ignore_index=ignore_index, has_weight=weight is not None)
+    g_spec = pl.BlockSpec((1, 1), lambda i, p: (0, 0),
+                          memory_space=pltpu.SMEM)
+    in_specs = [g_spec, x_spec, ph_spec]
+    args = [gs, xt, lbl]
+    if weight is not None:
+        in_specs.append(ph_spec)
+        args.append(_phase_major(weight.astype(jnp.float32), fh, fw))
+    else:
+        kernel = partial(_nw_bwd_adapter, kernel)
+    dxt = pl.pallas_call(
+        kernel,
+        grid=(b, fh),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, c, h, w), lambda i, p: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c, h, w), jnp.float32),
+                        pltpu.VMEM((c, h, w), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    return jnp.transpose(dxt, (0, 2, 3, 1)).astype(logits.dtype)
+
+
+def _nw_bwd_adapter(kernel, g_ref, x_ref, lbl_ref, *rest):
+    return kernel(g_ref, x_ref, lbl_ref, None, *rest)
+
+
+def _bwd_dw_call(g, logits, labels, ignore_index, interpret):
+    fh, fw = _factors(logits, labels)
+    b, h, w, c = logits.shape
+    xt, lbl, x_spec, ph_spec = _common(logits, labels, fh, fw)
+    gs = jnp.reshape(g.astype(jnp.float32) / (b * h * fh * w * fw), (1, 1))
+    kernel = partial(_ce_dw_kernel, fh=fh, fw=fw, num_classes=c,
+                     ignore_index=ignore_index)
+    dw_ph = pl.pallas_call(
+        kernel,
+        grid=(b, fh),
+        in_specs=[pl.BlockSpec((1, 1), lambda i, p: (0, 0),
+                               memory_space=pltpu.SMEM), x_spec, ph_spec],
+        out_specs=pl.BlockSpec((1, 1, fw, h, w), lambda i, p: (i, p, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, fh, fw, h, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c, h, w), jnp.float32)],
+        interpret=interpret,
+    )(gs, xt, lbl)
+    return _phase_major_inv(dw_ph)
+
+
+_INT_ZERO = partial(np.zeros, dtype=jax.dtypes.float0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_ce_w(ignore_index, interpret, logits, labels, weight):
+    return _fwd_call(logits, labels, weight, ignore_index, interpret)
+
+
+def _fused_ce_w_fwd(ignore_index, interpret, logits, labels, weight):
+    return (_fwd_call(logits, labels, weight, ignore_index, interpret),
+            (logits, labels, weight))
+
+
+def _fused_ce_w_bwd(ignore_index, interpret, res, g):
+    logits, labels, weight = res
+    dx = _bwd_dx_call(g, logits, labels, weight, ignore_index, interpret)
+    dw = _bwd_dw_call(g, logits, labels, ignore_index, interpret)
+    return dx, _INT_ZERO(labels.shape), dw.astype(weight.dtype)
+
+
+_fused_ce_w.defvjp(_fused_ce_w_fwd, _fused_ce_w_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_ce_nw(ignore_index, interpret, logits, labels):
+    return _fwd_call(logits, labels, None, ignore_index, interpret)
+
+
+def _fused_ce_nw_fwd(ignore_index, interpret, logits, labels):
+    return (_fwd_call(logits, labels, None, ignore_index, interpret),
+            (logits, labels))
+
+
+def _fused_ce_nw_bwd(ignore_index, interpret, res, g):
+    logits, labels = res
+    dx = _bwd_dx_call(g, logits, labels, None, ignore_index, interpret)
+    return dx, _INT_ZERO(labels.shape)
+
+
+_fused_ce_nw.defvjp(_fused_ce_nw_fwd, _fused_ce_nw_bwd)
+
+
+def supported(logits, labels) -> bool:
+    """Whether ``fused_resize_ce`` handles this (logits, labels) geometry."""
+    if logits.ndim != 4 or labels.ndim != 3:
+        return False
+    b, h, w, c = logits.shape
+    if labels.shape[0] != b or labels.shape[1] % h or labels.shape[2] % w:
+        return False
+    fh, fw = labels.shape[1] // h, labels.shape[2] // w
+    # an actual upsample, with lane/sublane-friendly coarse tiles
+    return fh * fw > 1 and h % 8 == 0 and w % 128 == 0
+
+
+def fused_resize_ce(logits, labels, weight=None, *, ignore_index: int = 255,
+                    interpret: bool | None = None):
+    """== weighted_cross_entropy(resize_bilinear(logits, labels.shape[1:3]),
+    labels, weight, ignore_index=ignore_index) with the fine logits kept in
+    VMEM.  logits [B,h,w,C] (any float dtype; math in f32 like the XLA
+    path), labels [B,H,W] int, weight [B,H,W] or None.
+
+    ``interpret=None`` auto-selects the Pallas interpreter off-TPU so the
+    same call sites run (and are parity-tested) on CPU."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if weight is None:
+        return _fused_ce_nw(ignore_index, interpret, logits, labels)
+    return _fused_ce_w(ignore_index, interpret, logits, labels, weight)

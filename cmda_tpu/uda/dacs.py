@@ -157,8 +157,15 @@ class DACSTrainer:
         (reference dacs.py:458-462, 590-594); updated stats discarded.
         Only the requested ``streams`` are decoded — the teacher's unused
         logit streams are dead weight in compute and HBM."""
+        ema = state.ema_params
+        if self.cfg.uda.teacher_bf16:
+            # pure-inference forward: read a bf16 cast of the EMA weights
+            # (half the HBM weight traffic); the f32 EMA accumulator is
+            # untouched.  Pseudo-label drift vs the f32 teacher is bounded
+            # by tests/test_dacs_variants.py::test_teacher_bf16_*.
+            ema = jax.tree.map(lambda x: x.astype(jnp.bfloat16), ema)
         out, _ = self.model.apply(
-            {"params": state.ema_params, "batch_stats": state.batch_stats},
+            {"params": ema, "batch_stats": state.batch_stats},
             image, second, isr, mode=mode, train=False, bn_train=True,
             mutable=["batch_stats"], streams=streams,
             method=self.model.forward_logits)
@@ -221,7 +228,12 @@ class DACSTrainer:
         u = self.cfg.uda
         return dict(w_image=u.loss_weight_image, w_events=u.loss_weight_events,
                     w_fusion=u.loss_weight_fusion, w_isr=u.loss_weight_isr,
-                    stacked=u.stacked_stream_ce)
+                    stacked=u.stacked_stream_ce,
+                    pallas_ce=self._pallas_ce())
+
+    def _pallas_ce(self):
+        return (self.cfg.uda.pallas_ce
+                and jax.default_backend() == "tpu")
 
     def _fdist_loss(self, state, feats_image, day_image, day_label):
         """ImageNet feature-distance on thing classes
@@ -508,7 +520,8 @@ class DACSTrainer:
             return split_stream_loss(
                 logits, labels, seg_weights, w_image=weights["w_image"],
                 w_events=weights["w_events"], factor=factor,
-                events_class_weight=edge_cw)
+                events_class_weight=edge_cw,
+                pallas_ce=weights["pallas_ce"])
 
         # The source and mixed losses are differentiated SEPARATELY and the
         # gradients summed — same math as one total loss, but the two

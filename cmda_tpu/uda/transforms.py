@@ -21,30 +21,46 @@ from flax.core import FrozenDict
 
 from ..ops.losses import (
     weighted_cross_entropy, weighted_cross_entropy_stacked, pixel_accuracy)
+from ..ops.pallas_ce import fused_resize_ce
+from ..ops.pallas_ce import supported as pallas_ce_supported
 from ..ops.resize import resize_bilinear
 
 
 def multi_stream_loss(logits: dict, label, seg_weight, *, w_image: float,
                       w_events: float, w_fusion: float, w_isr: float,
-                      ignore_index: int = 255, stacked: bool = False):
+                      ignore_index: int = 255, stacked: bool = False,
+                      pallas_ce: bool = False):
     """logits: dict of stride-4 NHWC streams (None where absent);
     label [B,H,W] int; seg_weight [B,H,W] or None.  Returns (loss, logs).
 
     ``stacked=True`` (4-stream case only) folds the four per-stream CEs
     into ONE checkpointed resize+CE over the stream-stacked tensor
     (UDAConfig.stacked_stream_ce; parity-tested against the sequential
-    path). Same math, one kernel chain instead of four."""
+    path). Same math, one kernel chain instead of four.
+
+    ``pallas_ce=True`` routes each stream CE through the fused Pallas
+    upsample+CE kernel (ops/pallas_ce.py; parity-tested values+grads):
+    the [B,H,W,C] resized logits never materialize in HBM in either
+    direction, replacing the jax.checkpoint form."""
     size = label.shape[1:3]
 
     # jax.checkpoint: the resized-to-label f32 logits ([B,512,512,19] ~=
     # 160 MB per stream at b8) are recomputed in backward from the
     # stride-4 logits instead of being saved — 4 streams x 2 passes of
-    # these were the HBM peak at batch 8 (r3 OOM margin, docs/PERF.md)
+    # these were the HBM peak at batch 8 (r3 OOM margin, docs/PERF.md).
+    # The Pallas kernel needs neither: its custom VJP recomputes the
+    # phase logits in VMEM.
     @jax.checkpoint
-    def stream_ce(x):
+    def stream_ce_xla(x):
         return weighted_cross_entropy(
             resize_bilinear(x, size), label, seg_weight,
             ignore_index=ignore_index)
+
+    def stream_ce(x):
+        if pallas_ce and pallas_ce_supported(x, label):
+            return fused_resize_ce(x, label, seg_weight,
+                                   ignore_index=ignore_index)
+        return stream_ce_xla(x)
 
     if (stacked and logits.get("fusion_output") is not None
             and logits.get("events_output") is not None
@@ -147,7 +163,8 @@ def seg_label_to_edge_label(label, ignore_index: int = 255):
 
 def split_stream_loss(logits: dict, labels: dict, weights: dict, *,
                       w_image: float, w_events: float, factor: float = 2.0,
-                      ignore_index: int = 255, events_class_weight=None):
+                      ignore_index: int = 255, events_class_weight=None,
+                      pallas_ce: bool = False):
     """Two-stream loss with per-stream labels/weights.
 
     factor=2: cs2dz_image+raw-isr_split (decode_head.py:501-507, each term
@@ -161,10 +178,17 @@ def split_stream_loss(logits: dict, labels: dict, weights: dict, *,
     size = labels["image"].shape[1:3]
 
     @jax.checkpoint
-    def ce(x, lbl, w, cw=None):
+    def ce_xla(x, lbl, w, cw=None):
         return weighted_cross_entropy(resize_bilinear(x, size), lbl, w,
                                       ignore_index=ignore_index,
                                       class_weight=cw)
+
+    def ce(x, lbl, w, cw=None):
+        # class-weighted CE (isr_edge) keeps the XLA path — the Pallas
+        # kernel covers the unweighted-class contract only
+        if pallas_ce and cw is None and pallas_ce_supported(x, lbl):
+            return fused_resize_ce(x, lbl, w, ignore_index=ignore_index)
+        return ce_xla(x, lbl, w, cw)
 
     l_img = ce(logits["image_output"], labels["image"], weights.get("image"))
     l_ev = ce(logits["events_output"], labels["events"], weights.get("events"),

@@ -229,3 +229,35 @@ def test_edge_label_semantics():
     lbl[0, :, :2] = 255
     edge2 = np.asarray(seg_label_to_edge_label(jnp.asarray(lbl)))
     assert edge2[0, 4, 1] == 0
+
+
+def test_teacher_bf16_pseudo_label_parity():
+    """uda.teacher_bf16 (perf lever: bf16-cast EMA weights for the pure-
+    inference teacher forward) must leave the pseudo-label decision
+    essentially unchanged: logits within bf16 rounding of the f32 teacher
+    and argmax agreement well above the confidence threshold's bite."""
+    from cmda_tpu.config import micro_test_config
+    from cmda_tpu.uda.transforms import pseudo_label_and_weight
+
+    cfg32 = micro_test_config()
+    cfg16 = replace(cfg32, uda=replace(cfg32.uda, teacher_bf16=True))
+    t32, t16 = DACSTrainer(cfg32), DACSTrainer(cfg16)
+    state = t32.init_state(jax.random.PRNGKey(0))
+
+    g = np.random.default_rng(0)
+    h, w = cfg32.data.crop_size
+    img = jnp.asarray(g.normal(size=(2, h, w, 3)).astype(np.float32))
+    ev = jnp.asarray(g.normal(size=(2, h, w, 3)).astype(np.float32))
+
+    with jax.disable_jit():
+        lg32 = t32._teacher_logits(state, img, ev, None, "default")
+        lg16 = t16._teacher_logits(state, img, ev, None, "default")
+    a, b = (np.asarray(lg32["fusion_output"]),
+            np.asarray(lg16["fusion_output"]))
+    # bf16 has ~3 decimal digits; activations here are O(1)
+    assert np.max(np.abs(a - b)) < 0.15 * max(1.0, np.max(np.abs(a)))
+    pl32, pw32 = pseudo_label_and_weight(lg32["fusion_output"])
+    pl16, pw16 = pseudo_label_and_weight(lg16["fusion_output"])
+    agree = float(np.mean(np.asarray(pl32) == np.asarray(pl16)))
+    assert agree > 0.95, agree
+    assert abs(float(pw32[0, 0, 0]) - float(pw16[0, 0, 0])) < 0.05

@@ -70,6 +70,15 @@ def parse_args():
                         "HBM on some jax versions but ENLARGED the peak on "
                         "others — re-measure hbm_temp_gb via bench.py "
                         "--fused-resize before using (docs/PERF.md)")
+    p.add_argument("--pallas-ce", action="store_true",
+                   help="fused Pallas upsample+CE kernel on the stream CEs "
+                        "(uda.pallas_ce, TPU only; parity-tested): the "
+                        "resized [B,H,W,C] logits never touch HBM "
+                        "(docs/PERF.md)")
+    p.add_argument("--teacher-bf16", action="store_true",
+                   help="teacher forward reads a bf16 cast of the EMA "
+                        "weights (uda.teacher_bf16); EMA accumulation "
+                        "stays f32 (docs/PERF.md)")
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    metavar="KEY=VAL",
                    help="dotted config override, e.g. uda.pseudo_threshold"
@@ -448,6 +457,10 @@ def main():
     if args.fused_resize:
         from cmda_tpu.ops.resize import set_fused_int_upsample
         set_fused_int_upsample(True)
+    if args.pallas_ce:
+        args.overrides.append("uda.pallas_ce=true")
+    if args.teacher_bf16:
+        args.overrides.append("uda.teacher_bf16=true")
     if args.multi_host:
         from cmda_tpu.parallel.mesh import init_distributed
         pi, pc = init_distributed(coordinator_address=args.coordinator)
