@@ -384,16 +384,25 @@ def _fused_ce_nw_bwd(ignore_index, interpret, res, g):
 _fused_ce_nw.defvjp(_fused_ce_nw_fwd, _fused_ce_nw_bwd)
 
 
+def supported_geometry(logits_shape, out_size) -> bool:
+    """Whether the phase kernels handle this coarse->fine geometry."""
+    if len(logits_shape) != 4:
+        return False
+    _, h, w, _ = logits_shape
+    if out_size[0] % h or out_size[1] % w:
+        return False
+    fh, fw = out_size[0] // h, out_size[1] // w
+    # an actual upsample, with lane/sublane-friendly coarse tiles
+    return fh * fw > 1 and h % 8 == 0 and w % 128 == 0
+
+
 def supported(logits, labels) -> bool:
     """Whether ``fused_resize_ce`` handles this (logits, labels) geometry."""
     if logits.ndim != 4 or labels.ndim != 3:
         return False
-    b, h, w, c = logits.shape
-    if labels.shape[0] != b or labels.shape[1] % h or labels.shape[2] % w:
+    if labels.shape[0] != logits.shape[0]:
         return False
-    fh, fw = labels.shape[1] // h, labels.shape[2] // w
-    # an actual upsample, with lane/sublane-friendly coarse tiles
-    return fh * fw > 1 and h % 8 == 0 and w % 128 == 0
+    return supported_geometry(logits.shape, labels.shape[1:3])
 
 
 def fused_resize_ce(logits, labels, weight=None, *, ignore_index: int = 255,
@@ -410,3 +419,84 @@ def fused_resize_ce(logits, labels, weight=None, *, ignore_index: int = 255,
     if weight is None:
         return _fused_ce_nw(ignore_index, interpret, logits, labels)
     return _fused_ce_w(ignore_index, interpret, logits, labels, weight)
+
+
+# ---------------------------------------------------------------------------
+# fused upsample + argmax/max-softmax (teacher pseudo-label / accuracy path)
+# ---------------------------------------------------------------------------
+
+def _argmax_kernel(x_ref, lbl_ref, prob_ref, z_ref, *,
+                   fh, fw, num_classes, with_prob):
+    """Per phase: label = argmax_c upsample(x), prob = max_c softmax —
+    the teacher pseudo-label contract (reference mmseg/models/uda/dacs.py:
+    701-711: softmax -> max/argmax of the input-res logits) without the
+    fine logits leaving VMEM.  Ties break to the first class, matching
+    jnp.argmax."""
+    p = pl.program_id(1)
+    wr = _phase_weights(p, fh)
+    h, w = x_ref.shape[2], x_ref.shape[3]
+    for q in range(fw):
+        m = _fill_phase_logits(x_ref, z_ref, wr, _phase_weights(q, fw),
+                               num_classes, h, w)
+
+        def arg_body(c, am):
+            # strict equality on the already-computed running max keeps the
+            # FIRST argmax on ties (c ascending), like jnp.argmax
+            return jnp.where((z_ref[c] == m) & (am < 0), c, am)
+
+        am = jax.lax.fori_loop(0, num_classes, arg_body,
+                               jnp.full((h, w), -1, jnp.int32))
+        lbl_ref[0, 0, q] = am
+        if with_prob:
+            def sum_body(c, s):
+                return s + jnp.exp(z_ref[c] - m)
+
+            s = jax.lax.fori_loop(0, num_classes, sum_body,
+                                  jnp.zeros((h, w), jnp.float32))
+            prob_ref[0, 0, q] = 1.0 / s   # exp(m - lse) = 1/sum exp(z-m)
+
+
+def _argmax_prob_adapter(kernel, x_ref, lbl_ref, z_ref):
+    return kernel(x_ref, lbl_ref, None, z_ref)
+
+
+def fused_resize_argmax(logits, out_size, *, with_prob: bool = True,
+                        interpret: bool | None = None):
+    """(argmax, max-softmax-prob) of the bilinear upsample of ``logits``
+    to ``out_size`` — == (jnp.argmax(softmax(resize(x)), -1),
+    jnp.max(softmax(resize(x)), -1)) with the resized logits kept in VMEM.
+    Returns (label int32 [B,H,W], prob f32 [B,H,W] or None)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, w, c = logits.shape
+    hh, ww = out_size
+    if hh % h or ww % w:
+        raise ValueError(f"{logits.shape} -> {out_size} not integer-factor")
+    fh, fw = hh // h, ww // w
+    xt = jnp.transpose(
+        jax.lax.stop_gradient(logits).astype(jnp.float32), (0, 3, 1, 2))
+    x_spec = pl.BlockSpec((1, c, h, w), lambda i, p: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    ph_spec = pl.BlockSpec((1, 1, fw, h, w), lambda i, p: (i, p, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    kernel = partial(_argmax_kernel, fh=fh, fw=fw, num_classes=c,
+                     with_prob=with_prob)
+    out_shape = [jax.ShapeDtypeStruct((b, fh, fw, h, w), jnp.int32)]
+    out_specs = [ph_spec]
+    if with_prob:
+        out_shape.append(jax.ShapeDtypeStruct((b, fh, fw, h, w), jnp.float32))
+        out_specs.append(ph_spec)
+    else:
+        kernel = partial(_argmax_prob_adapter, kernel)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, fh),
+        in_specs=[x_spec],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((c, h, w), jnp.float32)],
+        interpret=interpret,
+    )(xt)
+    label = _phase_major_inv(out[0])
+    prob = _phase_major_inv(out[1]) if with_prob else None
+    return label, prob

@@ -41,7 +41,8 @@ from ..ops.isr import image_to_isr
 from ..ops.normalize import denorm_image
 from ..train.optim import make_optimizer
 from .transforms import (
-    multi_stream_loss, pseudo_label_and_weight, downscale_label_ratio,
+    multi_stream_loss, pseudo_label_and_weight,
+    pseudo_label_and_weight_coarse, downscale_label_ratio,
     masked_feat_dist, split_stream_loss, seg_label_to_edge_label,
     feature_consistency_loss, frozen_variables,
 )
@@ -152,11 +153,15 @@ class DACSTrainer:
         return jnp.asarray(rc, jnp.float32)
 
     def _teacher_logits(self, state, image, second, isr, mode,
-                        streams=("fusion",)):
+                        streams=("fusion",), resize=True):
         """EMA forward: dropout/droppath off, BN on batch statistics
         (reference dacs.py:458-462, 590-594); updated stats discarded.
         Only the requested ``streams`` are decoded — the teacher's unused
-        logit streams are dead weight in compute and HBM."""
+        logit streams are dead weight in compute and HBM.
+
+        ``resize=False`` returns stride-4 logits (the uda.pallas_ce path:
+        the input-res resize then happens inside the fused phase argmax
+        kernel, so the [B,H,W,C] teacher logits never materialize)."""
         ema = state.ema_params
         if self.cfg.uda.teacher_bf16:
             # pure-inference forward: read a bf16 cast of the EMA weights
@@ -168,7 +173,7 @@ class DACSTrainer:
             {"params": ema, "batch_stats": state.batch_stats},
             image, second, isr, mode=mode, train=False, bn_train=True,
             mutable=["batch_stats"], streams=streams,
-            method=self.model.forward_logits)
+            resize_to_input=resize, method=self.model.forward_logits)
         return jax.tree.map(
             lambda x: jax.lax.stop_gradient(x) if x is not None else None, out,
             is_leaf=lambda x: x is None)
@@ -314,13 +319,27 @@ class DACSTrainer:
             pl_night_image = tgt["image_deflare"]
             pl_night_isr = tgt["isr_deflare"]
 
-        # ⑤ teacher pseudo-labels
+        # ⑤ teacher pseudo-labels.  Under uda.pallas_ce the teacher
+        # returns stride-4 logits and the resize+softmax+argmax runs in the
+        # fused phase kernel (pseudo_label_and_weight_coarse) — the
+        # [B,H,W,C] f32 teacher logits never materialize.
+        use_pal = self._pallas_ce()
+        t_res = not use_pal
+        lbl_size = night_image.shape[1:3]
+
+        def make_pl(stream_logits):
+            if use_pal:
+                return pseudo_label_and_weight_coarse(
+                    stream_logits, lbl_size, pallas_ce=True, **pl_kw)
+            return pseudo_label_and_weight(stream_logits, **pl_kw)
+
         pl2 = pw2 = target_day_pl = None
         day_pair_img = day_pair_isr = None
         if train_type == "cs2dsec_image+events_together":
             if u.fuse_both_ice_and_e:
                 teacher = self._teacher_logits(
-                    state, night_image, night_events, night_isr, "fusion_all")
+                    state, night_image, night_events, night_isr, "fusion_all",
+                    resize=t_res)
             elif u.isr_another_fusion:
                 # ISR rides the dedicated fusion_isr module when the coin
                 # picks ISR (reference dacs.py:664-666); two graphs, one
@@ -328,49 +347,50 @@ class DACSTrainer:
                 teacher = jax.lax.cond(
                     use_events,
                     lambda: self._teacher_logits(state, night_image,
-                                                 night_events, None, "default"),
+                                                 night_events, None, "default",
+                                                 resize=t_res),
                     lambda: self._teacher_logits(state, night_image,
-                                                 night_isr, None, "fusion_isr"))
+                                                 night_isr, None, "fusion_isr",
+                                                 resize=t_res))
             else:
                 ema_second = jnp.where(use_events, night_events, night_isr)
                 teacher = self._teacher_logits(state, night_image, ema_second,
-                                               None, "default")
-            pseudo_label, pseudo_weight = pseudo_label_and_weight(
-                teacher["fusion_output"], **pl_kw)
+                                               None, "default", resize=t_res)
+            pseudo_label, pseudo_weight = make_pl(teacher["fusion_output"])
         elif train_type == "cs2dsec_image+events":
             if u.isr_no_fusion:
                 # fixed events input for the teacher (reference dacs.py:667-669)
                 teacher = self._teacher_logits(state, night_image,
-                                               night_events, None, "default")
+                                               night_events, None, "default",
+                                               resize=t_res)
             elif u.isr_another_fusion:
                 teacher = jax.lax.cond(
                     use_events,
                     lambda: self._teacher_logits(state, night_image,
-                                                 night_events, None, "default"),
+                                                 night_events, None, "default",
+                                                 resize=t_res),
                     lambda: self._teacher_logits(state, night_image,
-                                                 night_isr, None, "fusion_isr"))
+                                                 night_isr, None, "fusion_isr",
+                                                 resize=t_res))
             else:
                 ema_second = jnp.where(use_events, night_events, night_isr)
                 teacher = self._teacher_logits(state, night_image, ema_second,
-                                               None, "default")
-            pseudo_label, pseudo_weight = pseudo_label_and_weight(
-                teacher["fusion_output"], **pl_kw)
+                                               None, "default", resize=t_res)
+            pseudo_label, pseudo_weight = make_pl(teacher["fusion_output"])
         elif split_type:
             # separate image / events pseudo-labels (reference dacs.py:628-651)
             teacher = self._teacher_logits(state, pl_night_image,
                                            pl_night_isr, None, "default",
-                                           streams=("image", "events"))
-            pseudo_label, pseudo_weight = pseudo_label_and_weight(
-                teacher["image_output"], **pl_kw)
-            pl2, pw2 = pseudo_label_and_weight(
-                teacher["events_output"], **pl_kw)
+                                           streams=("image", "events"),
+                                           resize=t_res)
+            pseudo_label, pseudo_weight = make_pl(teacher["image_output"])
+            pl2, pw2 = make_pl(teacher["events_output"])
         elif nofusion_type:
             # image stream supervises the ISR stream (reference dacs.py:624-626)
             teacher = self._teacher_logits(state, pl_night_image,
                                            pl_night_isr, None, "no_fusion",
-                                           streams=("image",))
-            pseudo_label, pseudo_weight = pseudo_label_and_weight(
-                teacher["image_output"], **pl_kw)
+                                           streams=("image",), resize=t_res)
+            pseudo_label, pseudo_weight = make_pl(teacher["image_output"])
         elif d2n_type:
             # day->night transferred-ISR variant: teacher on the target-day
             # image gives the day pseudo-label (reference dacs.py:469-478);
@@ -395,9 +415,9 @@ class DACSTrainer:
             pseudo_weight = jnp.full(prob.shape, 1.0) * ratio
         else:  # cs2dz_image+raw-isr
             teacher = self._teacher_logits(state, pl_night_image,
-                                           pl_night_isr, None, "default")
-            pseudo_label, pseudo_weight = pseudo_label_and_weight(
-                teacher["fusion_output"], **pl_kw)
+                                           pl_night_isr, None, "default",
+                                           resize=t_res)
+            pseudo_label, pseudo_weight = make_pl(teacher["fusion_output"])
 
         # ⑥ ClassMix + strong transform, all on device
         selected = sample_class_half(k_mix, day_label,

@@ -21,9 +21,21 @@ from flax.core import FrozenDict
 
 from ..ops.losses import (
     weighted_cross_entropy, weighted_cross_entropy_stacked, pixel_accuracy)
-from ..ops.pallas_ce import fused_resize_ce
+from ..ops.pallas_ce import (
+    fused_resize_ce, fused_resize_argmax, supported_geometry)
 from ..ops.pallas_ce import supported as pallas_ce_supported
 from ..ops.resize import resize_bilinear
+
+
+def _stream_accuracy(x, label, size, pallas_ce, ignore_index=255):
+    """pixel_accuracy(resize_bilinear(x, size), label), optionally through
+    the fused phase argmax kernel (the resized logits stay in VMEM)."""
+    if pallas_ce and pallas_ce_supported(x, label):
+        pred, _ = fused_resize_argmax(x, size, with_prob=False)
+        valid = label != ignore_index
+        correct = jnp.sum((pred == label) & valid)
+        return 100.0 * correct / label.size
+    return pixel_accuracy(resize_bilinear(x, size), label)
 
 
 def multi_stream_loss(logits: dict, label, seg_weight, *, w_image: float,
@@ -81,8 +93,8 @@ def multi_stream_loss(logits: dict, label, seg_weight, *, w_image: float,
                 + l_isr * w_isr + l_events * (w_events / 2.0))
         logs = {"loss_image": l_image, "loss_fusion": l_fusion,
                 "loss_events": l_events, "loss_isr": l_isr,
-                "acc_seg": pixel_accuracy(
-                    resize_bilinear(logits["fusion_output"], size), label),
+                "acc_seg": _stream_accuracy(
+                    logits["fusion_output"], label, size, pallas_ce),
                 "loss_seg": loss}
         return loss, logs
 
@@ -93,11 +105,11 @@ def multi_stream_loss(logits: dict, label, seg_weight, *, w_image: float,
         l_fusion = stream_ce(logits["fusion_output"])
         loss = loss + l_fusion * w_fusion
         logs["loss_fusion"] = l_fusion
-        logs["acc_seg"] = pixel_accuracy(
-            resize_bilinear(logits["fusion_output"], size), label)
+        logs["acc_seg"] = _stream_accuracy(
+            logits["fusion_output"], label, size, pallas_ce)
     else:
-        logs["acc_seg"] = pixel_accuracy(
-            resize_bilinear(logits["image_output"], size), label)
+        logs["acc_seg"] = _stream_accuracy(
+            logits["image_output"], label, size, pallas_ce)
     if logits.get("events_output") is not None:
         l_events = stream_ce(logits["events_output"])
         logs["loss_events"] = l_events
@@ -127,6 +139,29 @@ def pseudo_label_and_weight(fusion_logits, *, threshold: float = 0.968,
     if ignore_bottom > 0:
         weight = weight.at[:, -ignore_bottom:, :].set(0.0)
     return label, weight
+
+
+def pseudo_label_and_weight_coarse(logits_s4, out_size, *,
+                                   threshold: float = 0.968,
+                                   ignore_top: int = 0,
+                                   ignore_bottom: int = 0,
+                                   pallas_ce: bool = False):
+    """``pseudo_label_and_weight`` fed stride-4 teacher logits: the
+    input-res resize happens inside the fused phase argmax kernel when
+    supported (the [B,H,W,C] teacher logits never materialize), else via
+    the XLA resize (identical math)."""
+    if pallas_ce and supported_geometry(logits_s4.shape, out_size):
+        label, prob = fused_resize_argmax(logits_s4, out_size)
+        ratio = jnp.mean((prob >= threshold).astype(jnp.float32))
+        weight = jnp.full(prob.shape, 1.0, jnp.float32) * ratio
+        if ignore_top > 0:
+            weight = weight.at[:, :ignore_top, :].set(0.0)
+        if ignore_bottom > 0:
+            weight = weight.at[:, -ignore_bottom:, :].set(0.0)
+        return label, weight
+    return pseudo_label_and_weight(
+        resize_bilinear(logits_s4, out_size), threshold=threshold,
+        ignore_top=ignore_top, ignore_bottom=ignore_bottom)
 
 
 def downscale_label_ratio(gt, scale_factor: int, min_ratio: float,
@@ -195,9 +230,8 @@ def split_stream_loss(logits: dict, labels: dict, weights: dict, *,
               events_class_weight)
     loss = l_img * w_image * factor + l_ev * w_events * factor
     logs = {"loss_image": l_img, "loss_events": l_ev, "loss_seg": loss,
-            "acc_seg": pixel_accuracy(
-                resize_bilinear(logits["image_output"], size),
-                labels["image"])}
+            "acc_seg": _stream_accuracy(
+                logits["image_output"], labels["image"], size, pallas_ce)}
     return loss, logs
 
 

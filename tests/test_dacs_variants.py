@@ -261,3 +261,33 @@ def test_teacher_bf16_pseudo_label_parity():
     agree = float(np.mean(np.asarray(pl32) == np.asarray(pl16)))
     assert agree > 0.95, agree
     assert abs(float(pw32[0, 0, 0]) - float(pw16[0, 0, 0])) < 0.05
+
+
+def test_pallas_ce_step_parity(monkeypatch):
+    """Full DACS step with the uda.pallas_ce phase kernels vs the XLA path:
+    same state/batch/rng => same losses and pseudo-weights (float-roundoff).
+    The lane-efficiency geometry gate is bypassed so the tiny CPU config
+    exercises the kernels (interpret mode engages automatically off-TPU)."""
+    from cmda_tpu.uda import transforms as T
+
+    cfg = tiny_test_config()
+    batch = synth_batch(0)
+    rng = jax.random.PRNGKey(7)
+
+    def run(pallas):
+        t = DACSTrainer(cfg)
+        state = t.init_state(jax.random.PRNGKey(0))
+        if pallas:
+            monkeypatch.setattr(T, "pallas_ce_supported", lambda *a: True)
+            monkeypatch.setattr(T, "supported_geometry", lambda *a: True)
+            monkeypatch.setattr(t, "_pallas_ce", lambda: True)
+        with jax.disable_jit():
+            _, logs = t.train_step(state, batch, rng)
+        monkeypatch.undo()
+        return logs
+
+    ref, pal = run(False), run(True)
+    assert set(ref) == set(pal)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(pal[k]), np.asarray(ref[k]),
+                                   rtol=2e-3, atol=1e-4, err_msg=k)

@@ -106,7 +106,11 @@ def test_multi_stream_loss_pallas_parity():
     on CPU), on the 4-stream flagship loss shape."""
     from cmda_tpu.uda.transforms import multi_stream_loss
     g = np.random.default_rng(5)
-    b, h, w, c = 2, 4, 128, 6
+    b, h, w, c = 2, 8, 128, 6
+    # h=8 passes the supported() gate (h % 8 == 0) — the pallas branch
+    # must actually engage in this test
+    from cmda_tpu.ops.pallas_ce import supported as _sup
+    assert _sup(jnp.zeros((b, h, w, c)), jnp.zeros((b, h * 4, w * 4), jnp.int32))
     logits = {k: jnp.asarray(g.normal(size=(b, h, w, c)).astype(np.float32))
               for k in ("image_output", "fusion_output", "events_output",
                         "img_self_res_output")}
@@ -131,3 +135,42 @@ def test_multi_stream_loss_pallas_parity():
     for k in g_ref:
         np.testing.assert_allclose(np.asarray(g_pal[k]), np.asarray(g_ref[k]),
                                    atol=1e-7, rtol=1e-4, err_msg=k)
+
+
+def test_fused_resize_argmax_matches_xla():
+    from cmda_tpu.ops.pallas_ce import fused_resize_argmax
+    g = np.random.default_rng(7)
+    b, h, w, c = 2, 8, 128, 7
+    x = jnp.asarray(g.normal(size=(b, h, w, c)).astype(np.float32))
+    out_size = (h * 4, w * 4)
+    label, prob = fused_resize_argmax(x, out_size, interpret=True)
+    big = resize_bilinear(x, out_size).astype(jnp.float32)
+    sm = jax.nn.softmax(big, axis=-1)
+    ref_label = jnp.argmax(sm, axis=-1).astype(jnp.int32)
+    ref_prob = jnp.max(sm, axis=-1)
+    agree = float(np.mean(np.asarray(label) == np.asarray(ref_label)))
+    assert agree > 0.999, agree   # float-roundoff argmax ties only
+    np.testing.assert_allclose(np.asarray(prob), np.asarray(ref_prob),
+                               atol=1e-5)
+    lbl_only, none_prob = fused_resize_argmax(x, out_size, with_prob=False,
+                                              interpret=True)
+    assert none_prob is None
+    np.testing.assert_array_equal(np.asarray(lbl_only), np.asarray(label))
+
+
+def test_pseudo_label_and_weight_coarse_parity():
+    from cmda_tpu.uda.transforms import (
+        pseudo_label_and_weight, pseudo_label_and_weight_coarse)
+    g = np.random.default_rng(8)
+    b, h, w, c = 2, 8, 128, 19
+    x = jnp.asarray(g.normal(size=(b, h, w, c)).astype(np.float32))
+    out_size = (h * 4, w * 4)
+    ref_l, ref_w = pseudo_label_and_weight(
+        resize_bilinear(x, out_size), threshold=0.3, ignore_top=5,
+        ignore_bottom=3)
+    pal_l, pal_w = pseudo_label_and_weight_coarse(
+        x, out_size, threshold=0.3, ignore_top=5, ignore_bottom=3,
+        pallas_ce=True)
+    assert float(np.mean(np.asarray(pal_l) == np.asarray(ref_l))) > 0.999
+    np.testing.assert_allclose(np.asarray(pal_w), np.asarray(ref_w),
+                               atol=1e-4)
