@@ -48,7 +48,7 @@ def run(batch_size: int, steps: int = 10, warmup: int = 3,
         remat: str = "block", moments: str = "float32",
         head_batched: bool = False, fused_resize: bool = False,
         stacked_ce: bool = False, split_transpose: bool = False,
-        pallas_ce: bool = False, teacher_bf16: bool = False):
+        pallas_ce: bool = True, teacher_bf16: bool = False):
     import sys
     import jax
     import jax.numpy as jnp
@@ -156,11 +156,14 @@ def main():
                          "reports hbm_temp_gb_nonfused / _delta so the "
                          "flag self-documents whether it currently helps "
                          "(docs/PERF.md)")
-    ap.add_argument("--pallas-ce", action="store_true",
-                    help="fused Pallas upsample+CE kernel on every stream "
-                         "CE (uda.pallas_ce; ops/pallas_ce.py, parity-"
-                         "tested values+grads): the [B,512,512,19] resized "
-                         "logits never touch HBM in fwd or bwd")
+    ap.add_argument("--pallas-ce", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="fused Pallas upsample+CE + teacher argmax kernels "
+                         "(uda.pallas_ce; ops/pallas_ce.py, parity-tested "
+                         "values+grads): the [B,512,512,19] resized logits "
+                         "never touch HBM in fwd or bwd. Default ON "
+                         "(6.585 vs 6.549 samples/s, docs/PERF.md r4); "
+                         "--no-pallas-ce for the plain XLA chain")
     ap.add_argument("--teacher-bf16", action="store_true",
                     help="teacher forward reads a bf16 cast of the EMA "
                          "weights (uda.teacher_bf16); EMA accumulation "

@@ -88,11 +88,14 @@ class UDAConfig:
     # fold the 4 per-stream CEs into one stacked resize+CE kernel chain
     # (same math, parity-tested; perf lever — see docs/PERF.md)
     stacked_stream_ce: bool = False
-    # route the per-stream upsample+CE through the fused Pallas kernel
-    # (ops/pallas_ce.py, TPU only; parity-tested values+grads): the
-    # [B,H,W,C] resized logits never materialize in HBM.  See docs/PERF.md
-    # for the measured effect.
-    pallas_ce: bool = False
+    # route the per-stream upsample+CE and the teacher resize+argmax
+    # through the fused Pallas phase kernels (ops/pallas_ce.py; parity-
+    # tested values+grads and at full-step level): the [B,H,W,C] resized
+    # logits never materialize in HBM.  Default ON — measured 6.585 vs
+    # 6.549 samples/s on the flagship b5 step (docs/PERF.md round 4); the
+    # gate in DACSTrainer._pallas_ce keeps it off on non-TPU backends and
+    # unsupported geometries fall back to the identical XLA math.
+    pallas_ce: bool = True
     # feed the (pure-inference) teacher forward a bfloat16 cast of the EMA
     # weights; EMA accumulation itself stays float32.  Perf lever — see
     # docs/PERF.md for the measured effect and the pseudo-label drift bound.

@@ -70,11 +70,13 @@ def parse_args():
                         "HBM on some jax versions but ENLARGED the peak on "
                         "others — re-measure hbm_temp_gb via bench.py "
                         "--fused-resize before using (docs/PERF.md)")
-    p.add_argument("--pallas-ce", action="store_true",
-                   help="fused Pallas upsample+CE kernel on the stream CEs "
+    p.add_argument("--pallas-ce", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="fused Pallas upsample+CE + teacher argmax kernels "
                         "(uda.pallas_ce, TPU only; parity-tested): the "
-                        "resized [B,H,W,C] logits never touch HBM "
-                        "(docs/PERF.md)")
+                        "resized [B,H,W,C] logits never touch HBM. Config "
+                        "default is ON (docs/PERF.md r4); --no-pallas-ce "
+                        "forces the plain XLA chain")
     p.add_argument("--teacher-bf16", action="store_true",
                    help="teacher forward reads a bf16 cast of the EMA "
                         "weights (uda.teacher_bf16); EMA accumulation "
@@ -457,8 +459,9 @@ def main():
     if args.fused_resize:
         from cmda_tpu.ops.resize import set_fused_int_upsample
         set_fused_int_upsample(True)
-    if args.pallas_ce:
-        args.overrides.append("uda.pallas_ce=true")
+    if args.pallas_ce is not None:
+        args.overrides.append(
+            "uda.pallas_ce=" + ("true" if args.pallas_ce else "false"))
     if args.teacher_bf16:
         args.overrides.append("uda.teacher_bf16=true")
     if args.multi_host:
