@@ -333,6 +333,10 @@ def cs2dsec_image_events_b5(**overrides) -> RunConfig:
             fusion="attention_avg",
             fusion_isr="attention",
             share_decoder="full",
+            # b5 at 512x512 batch 8 needs ~61 GB HBM without encoder-block
+            # rematerialization; the scoreboard recipe (docs/PERF.md) IS
+            # remat=block, so the preset defaults to it
+            remat=True,
             head=DAFormerHeadConfig()),
         uda=UDAConfig(),
         optim=OptimConfig(),
@@ -352,6 +356,7 @@ def cs2dz_image_rawisr_b5(**overrides) -> RunConfig:
             fusion="attention",
             fusion_isr="",
             share_decoder="full",
+            remat=True,   # see cs2dsec_image_events_b5
             head=DAFormerHeadConfig()),
         uda=UDAConfig(
             mixed_image_to_mixed_isr=True,
