@@ -197,6 +197,14 @@ class DataConfig:
     dz_auto_threshold: bool = False
     shift_type: str = "random"
     workers: int = 4
+    # decoded-base-frame LRU capacity per dataset, in frames (data/cache.py;
+    # 0 = off). Draw randomness (crop/flip/augs/ISR/voxel clip) acts after
+    # decode, so caching is distribution-transparent — parity-tested.
+    decode_cache: int = 0
+    # batches staged ahead on device (train/loop.py device_prefetch): h2d
+    # for batch N+1 overlaps step N's execution instead of serializing
+    # after it; costs this many extra batches of HBM. 0 = place inline.
+    device_prefetch: int = 1
     # source ISR augmentations (reference cityscapes_ic.py:243-336)
     isr_noise: bool = False
     isr_cow_mask: bool = False

@@ -37,7 +37,8 @@ class CityscapesICDataset:
                  sky_noise_dir: str | None = None, sky_mask: bool = False,
                  shift_3_channel: bool = False,
                  high_resolution_isr: bool = False,
-                 return_gi_or_ic: str = "image_change"):
+                 return_gi_or_ic: str = "image_change",
+                 decode_cache: int = 0):
         """Source-ISR augmentation knobs mirror the reference dataset
         (cityscapes_ic.py:38-45, 243-336): ``isr_noise`` blur+speckle,
         ``isr_cow_mask`` CowMix erase, ``flare_dir`` lens-flare composite
@@ -65,6 +66,11 @@ class CityscapesICDataset:
         assert return_gi_or_ic in ("image_change", "ic_wo_cyclegan",
                                    "gray_image", "events_gan", "events_esim")
         self.return_gi_or_ic = return_gi_or_ic
+        # LRU over the decoded+fixed-resized base frames (image/label/IC);
+        # crop/flip/augment/ISR are per-draw and happen downstream, so the
+        # cache is semantically transparent (data/cache.py)
+        from .cache import DecodeCache
+        self._cache = DecodeCache(decode_cache)
 
         def kw(p):
             return dict(val_range=p.val_range, threshold=p.threshold,
@@ -116,8 +122,8 @@ class CityscapesICDataset:
 
         crop_image = None
         if "image" in self.outputs or "img_self_res" in self.outputs:
-            img = open_rgb(path).resize(
-                self.resize, resample=Image.BILINEAR).crop(box)
+            img = self._cache.get(("img", path), lambda: open_rgb(path).resize(
+                self.resize, resample=Image.BILINEAR)).crop(box)
             if flip:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
             if self.flare_dir is not None:
@@ -129,8 +135,10 @@ class CityscapesICDataset:
 
         label_arr = None
         if "label" in self.outputs or self.sky_mask:
-            lbl = Image.open(self._label_path(path)).resize(
-                self.resize, resample=Image.NEAREST).crop(box)
+            lbl = self._cache.get(
+                ("lbl", path),
+                lambda: Image.open(self._label_path(path)).resize(
+                    self.resize, resample=Image.NEAREST)).crop(box)
             if flip:
                 lbl = lbl.transpose(Image.FLIP_LEFT_RIGHT)
             label_arr = np.asarray(lbl).astype(np.int32)
@@ -139,21 +147,25 @@ class CityscapesICDataset:
 
         if "img_time_res" in self.outputs:
             mode = self.return_gi_or_ic
-            if mode == "gray_image":
-                ic = Image.open(path).convert("L")
-            elif mode == "events_gan":
-                p = path.replace("leftImg8bit",
-                                 "leftImg8bit_EventGAN")[:-13] + ".png"
-                ic = Image.open(p).convert("L")
-            elif mode == "events_esim":
-                p = path.replace("leftImg8bit",
-                                 "leftImg8bit_esim")[:-13] + ".png"
-                ic = Image.open(p).convert("L")
-            else:
-                ic = Image.open(self._ic_path(path)).convert("L")
-            if mode != "events_esim":   # esim PNGs are already crop-res
-                ic = ic.resize(self.resize, resample=Image.BILINEAR)
-            ic = ic.crop(box)
+
+            def load_ic():
+                if mode == "gray_image":
+                    ic = Image.open(path).convert("L")
+                elif mode == "events_gan":
+                    p = path.replace("leftImg8bit",
+                                     "leftImg8bit_EventGAN")[:-13] + ".png"
+                    ic = Image.open(p).convert("L")
+                elif mode == "events_esim":
+                    p = path.replace("leftImg8bit",
+                                     "leftImg8bit_esim")[:-13] + ".png"
+                    ic = Image.open(p).convert("L")
+                else:
+                    ic = Image.open(self._ic_path(path)).convert("L")
+                if mode != "events_esim":   # esim PNGs are already crop-res
+                    ic = ic.resize(self.resize, resample=Image.BILINEAR)
+                return ic
+
+            ic = self._cache.get(("ic", mode, path), load_ic).crop(box)
             if flip:
                 ic = ic.transpose(Image.FLIP_LEFT_RIGHT)
             arr = (np.asarray(ic, np.float32) / 255.0 - 0.5) / 0.5
@@ -164,7 +176,7 @@ class CityscapesICDataset:
                 # ISR on the RAW full-res frame with 2x shift, then
                 # nearest-downsampled and cropped (reference
                 # cityscapes_ic.py:212-223)
-                raw = open_rgb(path)
+                raw = self._cache.get(("raw", path), lambda: open_rgb(path))
                 kw2 = dict(self.isr_kw, shift_pixel=self.isr_kw["shift_pixel"] * 2)
                 isr_full = host_image_change(raw, shift_direction="rightdown",
                                              **kw2)

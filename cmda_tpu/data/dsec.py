@@ -89,7 +89,7 @@ class DSECDataset:
                  crop_size=(400, 400), after_crop_resize_size=(512, 512),
                  image_change_range: int = 1, isr_params=None,
                  shift_type: str = "random", test_mode: bool = False,
-                 events_clip_range=None,
+                 events_clip_range=None, decode_cache: int = 0,
                  outputs=("image", "events", "isr")):
         self.txt_path = dataset_txt_path
         self.events_bins = events_bins
@@ -110,6 +110,13 @@ class DSECDataset:
         if self.rows.ndim == 1 and self.rows.size:
             self.rows = self.rows[None]
         self._h5_cache = {}
+        # immutable side tables, re-read per draw otherwise: the per-sequence
+        # events-index txt (np.loadtxt of thousands of str rows) and the
+        # rectify map (full-array h5 decompress) — memoized unconditionally
+        self._index_cache = {}
+        self._rect_cache = {}
+        from .cache import DecodeCache
+        self._cache = DecodeCache(decode_cache)   # decoded warp frames (LRU)
 
     def __len__(self):
         return len(self.rows)
@@ -134,8 +141,12 @@ class DSECDataset:
         if t[-1] > 0:
             t = t / t[-1]
         rect_path = image_path.replace("images", "events")[:-20] + "rectify_map.h5"
-        if os.path.exists(rect_path):
-            rmap = np.asarray(self._open_h5(rect_path)["rectify_map"])
+        if rect_path not in self._rect_cache:
+            self._rect_cache[rect_path] = (
+                np.asarray(self._open_h5(rect_path)["rectify_map"])
+                if os.path.exists(rect_path) else None)
+        rmap = self._rect_cache[rect_path]
+        if rmap is not None:
             xy = rmap[y, x]
             x, y = xy[:, 0].astype(np.float32), xy[:, 1].astype(np.float32)
         else:
@@ -170,7 +181,8 @@ class DSECDataset:
             box = (x, y, x + self.crop[0], y + self.crop[1])
 
         warp_path = image_path.replace("images/left/rectified", "warp_images")
-        warp_pil = open_rgb(warp_path)
+        warp_pil = self._cache.get(("warp", warp_path),
+                                   lambda: open_rgb(warp_path))
 
         if "image" in self.outputs:
             if self.test_mode:
@@ -199,7 +211,10 @@ class DSECDataset:
             idx_file = os.path.join(
                 image_path.split("left/rectified")[0],
                 "images_to_events_index.txt")
-            index_map = np.loadtxt(idx_file, dtype=str, encoding="utf-8")
+            if idx_file not in self._index_cache:
+                self._index_cache[idx_file] = np.loadtxt(
+                    idx_file, dtype=str, encoding="utf-8")
+            index_map = self._index_cache[idx_file]
             finish = int(index_map[now_index])
             start = int(index_map[now_index - self.image_change_range])
             grid = self._events_grid(image_path, finish, start,

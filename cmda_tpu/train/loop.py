@@ -34,6 +34,24 @@ CLASS_NAMES = ("road", "sidewalk", "building", "wall", "fence", "pole",
                "motorcycle", "bicycle")
 
 
+def device_prefetch(host_iter, place, depth: int):
+    """Stage ``depth`` batches ahead on device.
+
+    ``place`` (jnp.asarray / sharded device_put) dispatches asynchronously,
+    so the h2d copy for batch N+1 rides along while step N executes instead
+    of serializing after it — the classic TPU input-pipeline idiom
+    (cf. flax.jax_utils.prefetch_to_device). Costs ``depth`` extra batches
+    of HBM (~0.2 GB at the b8 flagship shape, within the measured headroom)."""
+    from collections import deque
+    buf = deque()
+    for b in host_iter:
+        buf.append(place(b))
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def collect_env() -> dict:
     return {
         "python": platform.python_version(),
@@ -336,12 +354,17 @@ class TrainLoop:
                 return jax.tree.map(jnp.asarray, b)
         base_rng = jax.random.fold_in(rng, 1)
 
+        if cfg.data.device_prefetch > 0:
+            batches = device_prefetch(self.loader, place_batch,
+                                      cfg.data.device_prefetch)
+        else:
+            batches = (place_batch(b) for b in self.loader)
         t_start = time.perf_counter()
         t_last = t_start
         debug_fn = None
         for it in range(int(state.step), max_iters):
             t_data = time.perf_counter()
-            batch = place_batch(next(self.loader))
+            batch = next(batches)
             data_time = time.perf_counter() - t_data
             if (cfg.debug_img_interval and self.mesh is None
                     and (it + 1) % cfg.debug_img_interval == 0):
@@ -362,21 +385,10 @@ class TrainLoop:
                            data_time=data_time)
                 t_last = now
                 self.log(rec)
-            if self.val_dataset is not None and (it + 1) % cfg.eval_interval == 0:
-                # prediction panels land in test_results_<iter>, then the
-                # dir is renamed with the score (reference eval_hooks.py:43-60)
-                eval_dir = os.path.join(self.work_dir,
-                                        f"test_results_{it + 1}")
-                summary = evaluate_fusion(self.trainer, state,
-                                          self.val_dataset,
-                                          num_classes=cfg.data.num_classes,
-                                          show_dir=eval_dir)
-                self.log({"iter": it + 1, "eval": summary})
-                scored = f"{eval_dir}_{summary['mIoU'] * 100:.2f}"
-                if os.path.isdir(eval_dir):
-                    os.rename(eval_dir, scored)
-                else:
-                    os.makedirs(scored, exist_ok=True)
+            # checkpoint BEFORE the periodic eval: the eval path cold-compiles
+            # a second executable, and a transient infra failure there (the
+            # axon remote-compile service drops connections now and then)
+            # must not cost the training state
             if (it + 1) % cfg.checkpoint_interval == 0 or (it + 1) == max_iters:
                 import dataclasses
                 from ..utils.visualization import CITYSCAPES_PALETTE
@@ -387,6 +399,33 @@ class TrainLoop:
                 save_checkpoint(state, os.path.join(
                     self.work_dir, f"iter_{it + 1}"), meta=meta)
                 self._prune_checkpoints(cfg.checkpoint_max_keep)
+            if self.val_dataset is not None and (it + 1) % cfg.eval_interval == 0:
+                # prediction panels land in test_results_<iter>, then the
+                # dir is renamed with the score (reference eval_hooks.py:43-60).
+                # Periodic eval is an observer: transient failures are logged
+                # and retried, never allowed to kill the run.
+                eval_dir = os.path.join(self.work_dir,
+                                        f"test_results_{it + 1}")
+                summary = None
+                for attempt in range(3):
+                    try:
+                        summary = evaluate_fusion(
+                            self.trainer, state, self.val_dataset,
+                            num_classes=cfg.data.num_classes,
+                            show_dir=eval_dir)
+                        break
+                    except Exception as e:  # noqa: BLE001 — infra flake
+                        self.log({"iter": it + 1, "eval_attempt": attempt,
+                                  "eval_error": repr(e)[:300]})
+                        if attempt < 2:
+                            time.sleep(90)
+                if summary is not None:
+                    self.log({"iter": it + 1, "eval": summary})
+                    scored = f"{eval_dir}_{summary['mIoU'] * 100:.2f}"
+                    if os.path.isdir(eval_dir):
+                        os.rename(eval_dir, scored)
+                    else:
+                        os.makedirs(scored, exist_ok=True)
         self.loader.close()
         return state
 

@@ -355,3 +355,39 @@ def test_rcs_pairing_with_synthetic():
                           min_crop_ratio=0.5, seed=0)
     s = pair[0]
     assert "label" in s["source"]
+
+
+def test_decode_cache_parity(cityscapes_root, dsec_root):
+    """data/cache.py: with decode_cache on, repeated draws are bit-identical
+    to the uncached datasets given the same per-draw RNG — the LRU only
+    memoizes the decode+fixed-resize prefix, never the randomized suffix."""
+    import random as pyrandom
+
+    def draws(ds, n=4):
+        out = []
+        for i in range(n):
+            r = pyrandom.Random(1000 + i)
+            out.append(ds.load(i % len(ds), rng=r))
+        return out
+
+    cold = CityscapesICDataset(
+        cityscapes_root, image_resize_size=(256, 128),
+        image_crop_size=(96, 96), isr_params=ISR, shift_type="random")
+    hot = CityscapesICDataset(
+        cityscapes_root, image_resize_size=(256, 128),
+        image_crop_size=(96, 96), isr_params=ISR, shift_type="random",
+        decode_cache=16)
+    for a, b in zip(draws(cold), draws(hot) and draws(hot)):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+    cold = DSECDataset(dsec_root, events_bins=1, crop_size=(400, 400),
+                       after_crop_resize_size=(512, 512), isr_params=ISR,
+                       outputs=("image", "events", "isr"))
+    hot = DSECDataset(dsec_root, events_bins=1, crop_size=(400, 400),
+                      after_crop_resize_size=(512, 512), isr_params=ISR,
+                      outputs=("image", "events", "isr"), decode_cache=16)
+    for a, b in zip(draws(cold), draws(hot) and draws(hot)):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)

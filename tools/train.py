@@ -349,7 +349,8 @@ def build_datasets(cfg, args):
         sky_noise_dir=d.sky_noise_dir, sky_mask=d.sky_mask,
         shift_3_channel=d.shift_3_channel,
         high_resolution_isr=d.high_resolution_isr,
-        return_gi_or_ic=d.return_gi_or_ic)
+        return_gi_or_ic=d.return_gi_or_ic,
+        decode_cache=d.decode_cache)
     if d.target == "dsec":
         from cmda_tpu.data.dsec import DSECDataset
         tgt = DSECDataset(args.target_txt, events_bins=d.events_bins,
@@ -358,7 +359,8 @@ def build_datasets(cfg, args):
                           after_crop_resize_size=d.crop_size,
                           image_change_range=d.image_change_range,
                           events_clip_range=d.events_clip_range,
-                          shift_type=d.shift_type)
+                          shift_type=d.shift_type,
+                          decode_cache=d.decode_cache)
         # events_clip_range / image_change_range / events_bins apply to
         # train AND val/test alike (reference my_run_experiments.py:232-238,
         # 248-255, 352-360 sets them on data.train/val/test together)
