@@ -169,7 +169,8 @@ class CityscapesICDataset:
             if flip:
                 ic = ic.transpose(Image.FLIP_LEFT_RIGHT)
             arr = (np.asarray(ic, np.float32) / 255.0 - 0.5) / 0.5
-            out["img_time_res"] = np.repeat(arr[..., None], 3, axis=-1)
+            out["img_time_res"] = np.broadcast_to(arr[..., None],
+                                                  arr.shape + (3,))
 
         if "img_self_res" in self.outputs:
             if self.high_resolution_isr:
@@ -214,8 +215,8 @@ class CityscapesICDataset:
                 mask = cow_mask_np(isr.shape[:2], r)
                 isr = isr * (mask if isr.ndim == 2 else mask[..., None])
             if isr.ndim == 2:
-                isr = np.repeat(isr[..., None], 3, axis=-1)
-            out["img_self_res"] = isr.astype(np.float32)
+                isr = np.broadcast_to(isr[..., None], isr.shape + (3,))
+            out["img_self_res"] = isr.astype(np.float32, copy=False)
 
         return out
 

@@ -129,7 +129,10 @@ class DSECDataset:
             self._h5_cache[path] = h5py.File(path, "r")
         return self._h5_cache[path]
 
-    def _events_grid(self, image_path, finish, start, rng=None):
+    def _splat_grid(self, image_path, finish, start):
+        """UN-normalized full-res voxel grid [bins,H,W] — deterministic given
+        (events file, window), so it is cached by the decode LRU; the random
+        part of the draw (clip, crop, flip, resize) happens after."""
         ev_path = image_path.replace("images", "events")[:-20] + "events.h5"
         h5 = self._open_h5(ev_path)
         from .native_h5 import read_slice
@@ -151,6 +154,17 @@ class DSECDataset:
             x, y = xy[:, 0].astype(np.float32), xy[:, 1].astype(np.float32)
         else:
             x, y = x.astype(np.float32), y.astype(np.float32)
+        from .. import native
+        if native.available():
+            return native.voxel_grid(t, x, y, p, bins=self.events_bins,
+                                     height=self.HEIGHT, width=self.WIDTH)
+        return host_voxel_grid(t, x, y, p, self.WIDTH, self.HEIGHT,
+                               self.events_bins)
+
+    def _events_grid(self, image_path, finish, start, rng=None):
+        grid = self._cache.get(
+            ("grid", image_path, start, finish),
+            lambda: self._splat_grid(image_path, finish, start))
         if self.events_clip_range is not None:
             lo, hi = self.events_clip_range
             clip = (rng if rng is not None else random).uniform(lo, hi)
@@ -158,12 +172,8 @@ class DSECDataset:
             clip = (finish - start) / 500000.0 * 1.5
         from .. import native
         if native.available():
-            grid = native.voxel_grid(t, x, y, p, bins=self.events_bins,
-                                     height=self.HEIGHT, width=self.WIDTH)
             return native.events_norm(grid, clip)
-        grid = host_voxel_grid(t, x, y, p, self.WIDTH, self.HEIGHT,
-                               self.events_bins)
-        return host_events_norm(grid, clip)
+        return host_events_norm(grid.copy(), clip)
 
     # ---------------- samples ----------------
     def load(self, idx: int, rng: random.Random | None = None):
@@ -205,7 +215,8 @@ class DSECDataset:
                                     **self.isr_kw)
             if self.test_mode:
                 isr = isr[:440]
-            out["isr"] = np.repeat(isr[..., None], 3, axis=-1)
+            # read-only broadcast view; the collate stack materializes it
+            out["isr"] = np.broadcast_to(isr[..., None], isr.shape + (3,))
 
         if "events" in self.outputs:
             idx_file = os.path.join(
@@ -227,8 +238,8 @@ class DSECDataset:
                 if flip:
                     ev = ev[:, ::-1]
                 ev = _bilinear_resize_np(ev, (self.resize[1], self.resize[0]))
-            out["events"] = np.repeat(
-                np.ascontiguousarray(ev)[..., None], 3, axis=-1)
+            ev = np.ascontiguousarray(ev)
+            out["events"] = np.broadcast_to(ev[..., None], ev.shape + (3,))
 
         if "label" in self.outputs:
             seq = image_path.split("/")[-5]
@@ -243,11 +254,24 @@ class DSECDataset:
 
 
 def _bilinear_resize_np(arr2d, out_hw):
-    """align_corners=False bilinear (torch semantics) on a 2-D array."""
+    """align_corners=False bilinear (torch semantics) on a 2-D array.
+
+    Routes through torch's CPU kernel when available (the reference resizes
+    events with torch bilinear, dsec.py:365-369; torch's AVX kernel is ~8x
+    the numpy gather chain below, which remains as the fallback/oracle)."""
     h, w = arr2d.shape
     oh, ow = out_hw
     if (h, w) == (oh, ow):
         return arr2d.astype(np.float32)
+    try:
+        import torch
+        import torch.nn.functional as F
+        t = torch.from_numpy(np.ascontiguousarray(arr2d, np.float32))
+        out = F.interpolate(t[None, None], size=(oh, ow), mode="bilinear",
+                            align_corners=False)
+        return out[0, 0].numpy()
+    except ImportError:
+        pass
     ys = (np.arange(oh) + 0.5) * h / oh - 0.5
     xs = (np.arange(ow) + 0.5) * w / ow - 0.5
     y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)

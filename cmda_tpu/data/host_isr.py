@@ -92,9 +92,12 @@ def pick_shift_direction(shift_type: str, a: int, b: int) -> str:
 
 
 def normalize_image(pil_image) -> np.ndarray:
-    """RGB PIL -> normalized float32 HWC."""
+    """RGB PIL -> normalized float32 HWC (in place on the fresh conversion
+    buffer — this runs per sample per step on the loader's single core)."""
     arr = np.asarray(pil_image, dtype=np.float32)
-    return (arr - IMAGENET_MEAN) / IMAGENET_STD
+    arr -= IMAGENET_MEAN
+    arr /= IMAGENET_STD
+    return arr
 
 
 def open_rgb(path: str):

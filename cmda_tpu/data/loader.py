@@ -16,11 +16,20 @@ import numpy as np
 
 
 def collate(samples: list) -> dict:
-    """List of nested dicts of numpy arrays -> nested dict of stacked arrays."""
+    """List of nested dicts of numpy arrays -> nested dict of stacked arrays.
+
+    Preallocates the batch and ``np.copyto``s each sample instead of
+    ``np.stack``: identical for contiguous samples, ~2x faster for the
+    stride-0 broadcast views the datasets ship for mono->3-channel streams
+    (ISR/events/IC), which np.stack copies element-wise."""
     first = samples[0]
     if isinstance(first, dict):
         return {k: collate([s[k] for s in samples]) for k in first}
-    return np.stack(samples, axis=0)
+    first = np.asarray(first)
+    out = np.empty((len(samples),) + first.shape, first.dtype)
+    for j, s in enumerate(samples):
+        np.copyto(out[j], s)
+    return out
 
 
 class PrefetchLoader:

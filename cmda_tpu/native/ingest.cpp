@@ -125,15 +125,16 @@ void cmda_events_norm(float* grid, int64_t n, float clip, float final_range) {
 // ---------------------------------------------------------------------------
 namespace {
 
-void get_ic(const float* front, const float* now, int64_t n, float lo,
-            float hi, float threshold, float clip_range, float* out) {
-  const float span = std::log(hi) - std::log(lo);
-  const float thr = span * threshold;
-  const float clip = span * clip_range;
-  const float k = (hi - lo) / 255.f;
+// get_ic on PRE-LOGGED frames: front/now hold log(pixel*k + lo). Because the
+// shifted frame is a pure permutation of the base frame (make_shift maps
+// every output pixel to an in-range source pixel), log can be taken once on
+// the base frame and permuted — bitwise identical to logging the shifted
+// frame, at 1/(2*ndirs) the log() calls (the per-sample profile's hot spot).
+void get_ic(const float* front, const float* now, int64_t n,
+            float thr, float clip, float* out) {
   float pos_min = 1e30f, pos_max = -1e30f, neg_min = 1e30f, neg_max = -1e30f;
   for (int64_t i = 0; i < n; ++i) {
-    float d = std::log(now[i] * k + lo) - std::log(front[i] * k + lo);
+    float d = now[i] - front[i];
     if (std::fabs(d) <= thr) d = 0.f;
     const float pv = std::min(std::max(d, 0.f), clip);
     const float nv = std::max(std::min(d, 0.f), -clip);
@@ -155,17 +156,35 @@ void get_ic(const float* front, const float* now, int64_t n, float lo,
 // np.concatenate([gray[:, :s], gray[:, :w-s]]) et al.
 void make_shift(const float* gray, int h, int w, int s, int dir /*0 l,1 r,2 u,3 d*/,
                 float* out) {
-  for (int i = 0; i < h; ++i) {
-    for (int j = 0; j < w; ++j) {
-      int si = i, sj = j;
-      switch (dir) {
-        case 0: sj = (j + s < w) ? j + s : (w - s) + (j - (w - s)); break;  // left: [s:], then last s cols of [w-s:]
-        case 1: sj = (j < s) ? j : j - s; break;                            // right
-        case 2: si = (i + s < h) ? i + s : (h - s) + (i - (h - s)); break;  // up
-        case 3: si = (i < s) ? i : i - s; break;                            // down
+  // Each case is a pure permutation expressible as per-row (or whole-rows)
+  // segment copies; memcpy beats the per-pixel switch ~10x.
+  const size_t row = static_cast<size_t>(w) * sizeof(float);
+  switch (dir) {
+    case 0:  // left: cols [0,w-s) <- gray cols [s,w); last s cols identity
+      for (int i = 0; i < h; ++i) {
+        const float* g = gray + static_cast<int64_t>(i) * w;
+        float* o = out + static_cast<int64_t>(i) * w;
+        std::memcpy(o, g + s, (w - s) * sizeof(float));
+        std::memcpy(o + (w - s), g + (w - s), s * sizeof(float));
       }
-      out[static_cast<int64_t>(i) * w + j] = gray[static_cast<int64_t>(si) * w + sj];
-    }
+      break;
+    case 1:  // right: cols [0,s) identity; cols [s,w) <- gray cols [0,w-s)
+      for (int i = 0; i < h; ++i) {
+        const float* g = gray + static_cast<int64_t>(i) * w;
+        float* o = out + static_cast<int64_t>(i) * w;
+        std::memcpy(o, g, s * sizeof(float));
+        std::memcpy(o + s, g, (w - s) * sizeof(float));
+      }
+      break;
+    case 2:  // up: rows [0,h-s) <- gray rows [s,h); last s rows identity
+      std::memcpy(out, gray + static_cast<int64_t>(s) * w, (h - s) * row);
+      std::memcpy(out + static_cast<int64_t>(h - s) * w,
+                  gray + static_cast<int64_t>(h - s) * w, s * row);
+      break;
+    case 3:  // down: rows [0,s) identity; rows [s,h) <- gray rows [0,h-s)
+      std::memcpy(out, gray, s * row);
+      std::memcpy(out + static_cast<int64_t>(s) * w, gray, (h - s) * row);
+      break;
   }
 }
 
@@ -175,23 +194,29 @@ void cmda_isr(const float* gray, int height, int width, float lo, float hi,
               float threshold, float clip_range, int shift_pixel,
               int direction, float* out) {
   const int64_t n = static_cast<int64_t>(height) * width;
-  std::vector<float> shifted(n), ic(n);
+  const float span = std::log(hi) - std::log(lo);
+  const float thr = span * threshold;
+  const float clip = span * clip_range;
+  const float k = (hi - lo) / 255.f;
+  std::vector<float> logged(n), shifted(n), ic(n);
+  for (int64_t i = 0; i < n; ++i) logged[i] = std::log(gray[i] * k + lo);
+  const float* L = logged.data();
   if (direction == 4) {  // 'all': average over up, left, down, right
     std::memset(out, 0, n * sizeof(float));
     const int dirs[4] = {2, 0, 3, 1};
     for (int d = 0; d < 4; ++d) {
-      make_shift(gray, height, width, shift_pixel, dirs[d], shifted.data());
-      get_ic(gray, shifted.data(), n, lo, hi, threshold, clip_range, ic.data());
+      make_shift(L, height, width, shift_pixel, dirs[d], shifted.data());
+      get_ic(L, shifted.data(), n, thr, clip, ic.data());
       for (int64_t i = 0; i < n; ++i) out[i] += ic[i] * 0.25f;
     }
     return;
   }
   const bool left = direction < 2;          // {0,1}=left*, {2,3}=right*
   const bool up = (direction % 2) == 1;     // {1,3}=*up
-  make_shift(gray, height, width, shift_pixel, left ? 0 : 1, shifted.data());
-  get_ic(gray, shifted.data(), n, lo, hi, threshold, clip_range, out);
-  make_shift(gray, height, width, shift_pixel, up ? 2 : 3, shifted.data());
-  get_ic(gray, shifted.data(), n, lo, hi, threshold, clip_range, ic.data());
+  make_shift(L, height, width, shift_pixel, left ? 0 : 1, shifted.data());
+  get_ic(L, shifted.data(), n, thr, clip, out);
+  make_shift(L, height, width, shift_pixel, up ? 2 : 3, shifted.data());
+  get_ic(L, shifted.data(), n, thr, clip, ic.data());
   for (int64_t i = 0; i < n; ++i) out[i] = out[i] * 0.5f + ic[i] * 0.5f;
 }
 
