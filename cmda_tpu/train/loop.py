@@ -165,7 +165,11 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
     variables = {"params": params, "batch_stats": batch_stats}
     model = trainer.model
 
-    def logits_fn(image, events):
+    # NOTE: ``variables`` is a jit ARGUMENT, never a closure constant — a
+    # closed-over b5 weight set bakes ~0.3 GB of constants into the HLO and
+    # the axon remote-compile service rejects the request (HTTP 413); as
+    # arguments the weights ride the normal device transfer path.
+    def logits_fn(variables, image, events):
         if output == "isr":
             # the ISR stream rides the events decoder on the isr input slot
             # (reference decode_head.py:536-561 forward_test output select)
@@ -175,13 +179,13 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
                            output=output)
 
     @jax.jit
-    def infer(image, events):
+    def infer(variables, image, events):
         if inference == "slide":
             from ..models.segmentor import slide_inference
             both = jnp.concatenate([image, events], axis=-1)
 
             def crop_fn(x):
-                return logits_fn(x[..., :3], x[..., 3:])
+                return logits_fn(variables, x[..., :3], x[..., 3:])
 
             logits = slide_inference(crop_fn, both, crop_size=slide_crop,
                                      stride=slide_stride,
@@ -193,13 +197,14 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
             both = jnp.concatenate([image, events], axis=-1)
             nc = image.shape[-1]
             prob = multi_scale_flip_inference(
-                lambda x: logits_fn(x[..., :nc], x[..., nc:]), both,
+                lambda x: logits_fn(variables, x[..., :nc], x[..., nc:]),
+                both,
                 scales=(0.5, 0.75, 1.0, 1.25, 1.5, 1.75), flip=True)
             return jnp.argmax(prob, axis=-1)
-        return jnp.argmax(logits_fn(image, events), axis=-1)
+        return jnp.argmax(logits_fn(variables, image, events), axis=-1)
 
     @jax.jit
-    def infer_image_only(image):
+    def infer_image_only(variables, image):
         def img_logits(x):
             return model.apply(variables, x, None, None, mode="no_fusion",
                                output="image")
@@ -220,9 +225,9 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
         image = jnp.asarray(batch["image"])
         second = batch.get("events", batch.get("isr"))
         if second is not None:
-            pred = infer(image, jnp.asarray(second))
+            pred = infer(variables, image, jnp.asarray(second))
         else:
-            pred = infer_image_only(image)
+            pred = infer_image_only(variables, image)
         pred = np.asarray(pred)
         for j, s in enumerate(samples):
             res = intersect_and_union(pred[j], s["label"], num_classes)

@@ -188,8 +188,10 @@ def export_submission(trainer, state, dataset, args, cfg, batch_size=4):
     use_fusion = is_dsec or args.output_type == "fusion"
     second_key = "events" if is_dsec else "isr"
 
+    # variables ride as a jit ARGUMENT (closure constants at b5 scale blow
+    # the axon remote-compile request limit: HTTP 413 — see train/loop.py)
     @jax.jit
-    def infer(image, second):
+    def infer(variables, image, second):
         if use_fusion:
             logits = model.apply(variables, image, second, None,
                                  mode="default", output="fusion")
@@ -213,7 +215,8 @@ def export_submission(trainer, state, dataset, args, cfg, batch_size=4):
         if pad:
             image = np.concatenate([image, image[-1:].repeat(pad, 0)])
             second = np.concatenate([second, second[-1:].repeat(pad, 0)])
-        pred = np.asarray(infer(jnp.asarray(image), jnp.asarray(second)))
+        pred = np.asarray(infer(variables, jnp.asarray(image),
+                               jnp.asarray(second)))
         for j, i in enumerate(idxs):
             label = Image.fromarray(pred[j].astype(np.uint8)).resize(
                 (1920, 1080), Image.NEAREST)
