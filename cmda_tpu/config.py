@@ -205,6 +205,11 @@ class DataConfig:
     # for batch N+1 overlaps step N's execution instead of serializing
     # after it; costs this many extra batches of HBM. 0 = place inline.
     device_prefetch: int = 1
+    # compact h2d wire for train batches (data/wire.py): bf16 floats,
+    # 1-channel mono streams, uint8 labels, decoded inside the jitted step.
+    # ~3.6x fewer bytes per step; bf16 wire noise is below the bf16 compute
+    # dtype's own rounding. Applies to the runner's loader path only.
+    wire_bf16: bool = True
     # source ISR augmentations (reference cityscapes_ic.py:243-336)
     isr_noise: bool = False
     isr_cow_mask: bool = False

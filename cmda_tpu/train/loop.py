@@ -359,11 +359,20 @@ class TrainLoop:
                 return jax.tree.map(jnp.asarray, b)
         base_rng = jax.random.fold_in(rng, 1)
 
+        if cfg.data.wire_bf16:
+            # compact wire: bf16 floats, 1-channel mono streams, uint8
+            # labels — decoded inside the jitted step (data/wire.py). Cuts
+            # the per-step h2d ~3.6x, which on the tunneled single-core
+            # sandbox is the difference between input-bound and hidden.
+            from ..data.wire import encode_wire
+            host_batches = (encode_wire(b) for b in self.loader)
+        else:
+            host_batches = iter(self.loader)
         if cfg.data.device_prefetch > 0:
-            batches = device_prefetch(self.loader, place_batch,
+            batches = device_prefetch(host_batches, place_batch,
                                       cfg.data.device_prefetch)
         else:
-            batches = (place_batch(b) for b in self.loader)
+            batches = (place_batch(b) for b in host_batches)
         t_start = time.perf_counter()
         t_last = t_start
         debug_fn = None

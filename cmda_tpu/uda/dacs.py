@@ -487,6 +487,8 @@ class DACSTrainer:
         """Snapshot of the mix construction for the class_mix_debug grids
         (reference dacs.py:882-1097) — same rng fold as the train step about
         to run on (state, batch), no gradients."""
+        from ..data.wire import decode_wire
+        batch = decode_wire(batch)   # no-op at trace time for f32 batches
         _, P = self._prepare(state, batch, base_rng)
         keys = ("day_image", "day_label", "day_isr", "day_events",
                 "night_image", "night_isr", "night_events", "pseudo_label",
@@ -504,6 +506,8 @@ class DACSTrainer:
         All images normalized NHWC float32; labels int32 [B,H,W]."""
         cfg = self.cfg
         u = cfg.uda
+        from ..data.wire import decode_wire
+        batch = decode_wire(batch)   # no-op at trace time for f32 batches
         state, P = self._prepare(state, batch, base_rng)
         train_type = P["train_type"]
         split_type, nofusion_type, d2n_type = (

@@ -61,6 +61,8 @@ class DACSImageTrainer:
         return jax.lax.stop_gradient(jnp.repeat(y, 3, axis=-1))
 
     def train_step(self, state: DACSTrainState, batch: dict, base_rng):
+        from ..data.wire import decode_wire
+        batch = decode_wire(batch)   # no-op at trace time for f32 batches
         rng = jax.random.fold_in(base_rng, state.step)
         k_drop, k_dp = jax.random.split(rng)
         isr = self._transfer(state, batch["source"]["img_self_res"])

@@ -91,6 +91,8 @@ class OrgDACSTrainer:
     def train_step(self, state: DACSTrainState, batch: dict, base_rng):
         cfg = self.cfg
         u = cfg.uda
+        from ..data.wire import decode_wire
+        batch = decode_wire(batch)   # no-op at trace time for f32 batches
         rng = jax.random.fold_in(base_rng, state.step)
         k_mix, k_jg, k_jit, k_bg, k_sig, k_drop, k_dp = jax.random.split(rng, 7)
 

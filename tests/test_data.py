@@ -391,3 +391,38 @@ def test_decode_cache_parity(cityscapes_root, dsec_root):
     for a, b in zip(draws(cold), draws(hot) and draws(hot)):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_wire_codec_roundtrip():
+    """encode_wire/decode_wire: bf16+mono+uint8 wire reconstructs the batch
+    (exactly for labels and f32 passthrough; within bf16 eps for floats)."""
+    import jax.numpy as jnp
+    from cmda_tpu.data.wire import encode_wire, decode_wire
+    g = np.random.default_rng(0)
+    mono = g.normal(size=(2, 16, 16)).astype(np.float32)
+    batch = {
+        "source": {"image": g.normal(size=(2, 16, 16, 3)).astype(np.float32),
+                   "label": g.integers(0, 19, (2, 16, 16)).astype(np.int32),
+                   "img_self_res": np.broadcast_to(mono[..., None],
+                                                   mono.shape + (3,))},
+        "target": {"isr": np.broadcast_to(mono[..., None],
+                                          mono.shape + (3,))},
+    }
+    enc = encode_wire(batch)
+    assert enc["source"]["label"].dtype == np.uint8
+    assert enc["source"]["img_self_res"].shape[-1] == 1   # mono on the wire
+    assert str(enc["source"]["image"].dtype) == "bfloat16"
+    dec = decode_wire({k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                       for k, v in enc.items()})
+    assert np.array_equal(np.asarray(dec["source"]["label"]),
+                          batch["source"]["label"])
+    for grp, key in (("source", "image"), ("source", "img_self_res"),
+                     ("target", "isr")):
+        got, want = np.asarray(dec[grp][key]), np.asarray(batch[grp][key])
+        assert got.shape == want.shape and got.dtype == np.float32
+        assert np.abs(got - want).max() <= 2 ** -8 * np.abs(want).max() + 1e-6
+    # un-encoded f32 batches pass through bit-identically (trace-time no-op)
+    dec2 = decode_wire({"source": {"image": jnp.asarray(
+        batch["source"]["image"])}})
+    assert np.array_equal(np.asarray(dec2["source"]["image"]),
+                          batch["source"]["image"])
