@@ -36,12 +36,18 @@ def _f32_to_bf16(arr):
     return arr.astype(ml_dtypes.bfloat16)
 
 
-def encode_wire(batch):
-    """numpy batch dict (possibly nested) -> compact wire dict."""
+def encode_wire(batch, pack: bool = True):
+    """numpy batch dict (possibly nested) -> compact wire dict.
+
+    With ``pack`` (default), all same-[B,H,W]-geometry bf16 streams are
+    additionally CONCATENATED into one ``packed::<spec>`` tensor so a step
+    ships TWO h2d transfers (packed floats + labels) instead of eight —
+    each transfer pays the tunnel's per-call latency, which at ~80 ms RTT
+    dominates the actual bytes. The spec (dotted path:channels, in order)
+    rides in the dict KEY, which is static under jit, so decode_wire can
+    split without any side-channel."""
 
     def enc(key, arr):
-        if isinstance(arr, dict):
-            return {k: enc(k, v) for k, v in arr.items()}
         arr = np.asarray(arr)
         if key == "label" and arr.dtype == np.int32:
             return arr.astype(np.uint8)
@@ -52,7 +58,38 @@ def encode_wire(batch):
             return _f32_to_bf16(arr)
         return arr
 
-    return {k: enc(k, v) for k, v in batch.items()}
+    out = {}
+    packable = []   # (dotted path, encoded [B,H,W,C] bf16 array)
+    geom = None
+
+    def walk(prefix, d, dst):
+        nonlocal geom
+        for k, v in d.items():
+            if isinstance(v, dict):
+                sub = dst.setdefault(k, {})
+                walk(prefix + k + ".", v, sub)
+                continue
+            e = enc(k, v)
+            if (pack and str(e.dtype) == "bfloat16" and e.ndim == 4
+                    and (geom is None or e.shape[:3] == geom)):
+                geom = e.shape[:3]
+                packable.append((prefix + k, e))
+            else:
+                dst[k] = e
+
+    walk("", batch, out)
+    if len(packable) > 1:
+        spec = ",".join(f"{p}:{a.shape[-1]}" for p, a in packable)
+        out["packed::" + spec] = np.concatenate([a for _, a in packable],
+                                                axis=-1)
+    else:
+        for p, a in packable:
+            parts = p.split(".")
+            d = out
+            for q in parts[:-1]:
+                d = d.setdefault(q, {})
+            d[parts[-1]] = a
+    return {k: v for k, v in out.items() if not isinstance(v, dict) or v}
 
 
 def decode_wire(batch):
@@ -74,4 +111,22 @@ def decode_wire(batch):
             x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
         return x
 
-    return {k: dec(k, v) for k, v in batch.items()}
+    out = {}
+    packed_items = []
+    for k, v in batch.items():
+        if isinstance(k, str) and k.startswith("packed::"):
+            packed_items.append((k, v))
+        else:
+            out[k] = dec(k, v)
+    for k, v in packed_items:
+        off = 0
+        for entry in k[len("packed::"):].split(","):
+            path, ch = entry.rsplit(":", 1)
+            ch = int(ch)
+            parts = path.split(".")
+            d = out
+            for q in parts[:-1]:
+                d = d.setdefault(q, {})
+            d[parts[-1]] = dec(parts[-1], v[..., off:off + ch])
+            off += ch
+    return out

@@ -408,7 +408,7 @@ def test_wire_codec_roundtrip():
         "target": {"isr": np.broadcast_to(mono[..., None],
                                           mono.shape + (3,))},
     }
-    enc = encode_wire(batch)
+    enc = encode_wire(batch, pack=False)
     assert enc["source"]["label"].dtype == np.uint8
     assert enc["source"]["img_self_res"].shape[-1] == 1   # mono on the wire
     assert str(enc["source"]["image"].dtype) == "bfloat16"
@@ -421,6 +421,22 @@ def test_wire_codec_roundtrip():
         got, want = np.asarray(dec[grp][key]), np.asarray(batch[grp][key])
         assert got.shape == want.shape and got.dtype == np.float32
         assert np.abs(got - want).max() <= 2 ** -8 * np.abs(want).max() + 1e-6
+    # packed form: floats concatenate into ONE self-describing tensor
+    packed = encode_wire(batch)
+    pk = [k for k in packed if str(k).startswith("packed::")]
+    assert len(pk) == 1 and packed[pk[0]].shape[-1] == 3 + 1 + 1
+    dec_p = decode_wire({k: (jnp.asarray(v) if not isinstance(v, dict)
+                             else {kk: jnp.asarray(vv)
+                                   for kk, vv in v.items()})
+                         for k, v in packed.items()})
+    for grp, key in (("source", "image"), ("source", "img_self_res"),
+                     ("target", "isr")):
+        got = np.asarray(dec_p[grp][key])
+        want = np.asarray(batch[grp][key])
+        assert got.shape == want.shape
+        assert np.abs(got - want).max() <= 2 ** -8 * np.abs(want).max() + 1e-6
+    assert np.array_equal(np.asarray(dec_p["source"]["label"]),
+                          batch["source"]["label"])
     # un-encoded f32 batches pass through bit-identically (trace-time no-op)
     dec2 = decode_wire({"source": {"image": jnp.asarray(
         batch["source"]["image"])}})
