@@ -48,7 +48,8 @@ def run(batch_size: int, steps: int = 10, warmup: int = 3,
         remat: str = "block", moments: str = "float32",
         head_batched: bool = False, fused_resize: bool = False,
         stacked_ce: bool = False, split_transpose: bool = False,
-        pallas_ce: bool = True, teacher_bf16: bool = False):
+        pallas_ce: bool = True, teacher_bf16: bool = False,
+        unroll_short: bool = False):
     import sys
     import jax
     import jax.numpy as jnp
@@ -64,7 +65,8 @@ def run(batch_size: int, steps: int = 10, warmup: int = 3,
                                 remat_policy=("dots" if remat == "dots"
                                               else "full"),
                                 head_batched_train=head_batched,
-                                scan_split_transpose=split_transpose),
+                                scan_split_transpose=split_transpose,
+                                scan_unroll_short=unroll_short),
                   data=replace(cfg.data, batch_size=batch_size),
                   optim=replace(cfg.optim, moment_dtype=moments),
                   uda=replace(cfg.uda, use_cyclegan_day_events=True,
@@ -181,6 +183,11 @@ def main():
                          "transpose scan. MEASURED neutral (-0.06%%) at "
                          "batch 8 — escape hatch if a future toolchain's "
                          "fused schedule regresses (docs/PERF.md)")
+    ap.add_argument("--unroll-short", action="store_true",
+                    help="fully unroll the depth<=6 encoder stages out of "
+                         "lax.scan (model.scan_unroll_short): perf "
+                         "experiment vs the grad-stacking DUS bucket "
+                         "(docs/PERF.md r2 trace, 10%% of step)")
     args = ap.parse_args()
 
     enable_compile_cache()
@@ -199,7 +206,8 @@ def main():
                  stacked_ce=args.stacked_ce,
                  split_transpose=args.split_transpose,
                  pallas_ce=args.pallas_ce,
-                 teacher_bf16=args.teacher_bf16)
+                 teacher_bf16=args.teacher_bf16,
+                 unroll_short=args.unroll_short)
                 batch_size = bs
                 break
             except Exception as e:

@@ -21,11 +21,24 @@ def collate(samples: list) -> dict:
     Preallocates the batch and ``np.copyto``s each sample instead of
     ``np.stack``: identical for contiguous samples, ~2x faster for the
     stride-0 broadcast views the datasets ship for mono->3-channel streams
-    (ISR/events/IC), which np.stack copies element-wise."""
+    (ISR/events/IC), which np.stack copies element-wise.
+
+    Mono streams stay mono THROUGH the batch: when every sample in the
+    slot is a stride-0 broadcast over its last axis (channels provably
+    identical), the batch is stored as one contiguous [B, ..., 1] buffer
+    re-broadcast to [B, ..., C] — a read-only view downstream consumers
+    treat exactly like a dense batch, while ``data.wire.encode_wire`` can
+    detect ``strides[-1] == 0`` and ship a single channel."""
     first = samples[0]
     if isinstance(first, dict):
         return {k: collate([s[k] for s in samples]) for k in first}
     first = np.asarray(first)
+    if (first.ndim >= 1 and first.shape[-1] > 1 and first.strides[-1] == 0
+            and all(np.asarray(s).strides[-1] == 0 for s in samples)):
+        out = np.empty((len(samples),) + first.shape[:-1] + (1,), first.dtype)
+        for j, s in enumerate(samples):
+            np.copyto(out[j], np.asarray(s)[..., :1])
+        return np.broadcast_to(out, (len(samples),) + first.shape)
     out = np.empty((len(samples),) + first.shape, first.dtype)
     for j, s in enumerate(samples):
         np.copyto(out[j], s)

@@ -6,27 +6,33 @@ dominated not by sample decode but by h2d bytes: a flagship batch ships
 serialization burn the sandbox's single core moving it. Three lossless-or-
 bf16 reductions cut the wire ~3.6x:
 
-  * mono streams (ISR / events / image-change) are produced as stride-0
-    broadcast views over one channel (the datasets tile 1->3 for the conv
-    stems; reference dsec.py:368-372, cityscapes_ic.py:239-241) — ship ONE
-    channel and re-broadcast on device, where it is free;
+  * mono streams (ISR / events / image-change) reach the collate as
+    stride-0 broadcast views over one channel (the datasets tile 1->3 for
+    the conv stems; reference dsec.py:368-372, cityscapes_ic.py:239-241)
+    and ``data.loader.collate`` PRESERVES that structure batch-level — so
+    the encoder ships ONE channel and re-broadcasts on device, where it
+    is free. Detection is purely structural (``strides[-1] == 0`` means
+    the channels are provably identical), never by key name;
   * float32 leaves travel as bfloat16 (the model computes in bf16 anyway;
     quantizing the already-normalized inputs adds noise below the compute
     dtype's own rounding);
   * labels are trainIds 0-18 + 255 ignore — exactly uint8.
 
 ``encode_wire`` runs on host (numpy); ``decode_wire`` runs as the first
-ops INSIDE the jitted train step, where the dtype/shape dispatch happens
-at trace time: an un-encoded float32 batch traces to the identical HLO as
-before (no convert/broadcast ops are inserted), so CPU tests and the
-persistent-cache keys of synthetic-batch benches are unaffected.
+ops INSIDE the jitted train step. Every transform the decoder applies is
+EXPLICITLY marked by the encoder — mono reduction rides in the dict key
+(``packed::...:1>3`` channel spec, or a ``mono::`` prefix for unpacked
+leaves), which is static under jit. A batch that was never encoded
+therefore traces to the identical HLO as before (no convert/broadcast
+ops are inserted), so CPU tests and the persistent-cache keys of
+synthetic-batch benches are unaffected.
 """
 from __future__ import annotations
 
 import numpy as np
 
-# streams the datasets tile mono -> 3 channels for the conv stems
-WIRE_MONO_KEYS = frozenset({"img_self_res", "img_time_res", "isr", "events"})
+_PACKED = "packed::"
+_MONO = "mono::"
 
 
 def _f32_to_bf16(arr):
@@ -43,23 +49,25 @@ def encode_wire(batch, pack: bool = True):
     additionally CONCATENATED into one ``packed::<spec>`` tensor so a step
     ships TWO h2d transfers (packed floats + labels) instead of eight —
     each transfer pays the tunnel's per-call latency, which at ~80 ms RTT
-    dominates the actual bytes. The spec (dotted path:channels, in order)
-    rides in the dict KEY, which is static under jit, so decode_wire can
-    split without any side-channel."""
+    dominates the actual bytes. The spec (dotted path:channels, in order;
+    ``:1>3`` = one wire channel broadcast back to three) rides in the
+    dict KEY, which is static under jit, so decode_wire can split and
+    re-broadcast without any side-channel."""
 
     def enc(key, arr):
         arr = np.asarray(arr)
+        out_ch = 0  # 0 = not a mono reduction
         if key == "label" and arr.dtype == np.int32:
-            return arr.astype(np.uint8)
+            return arr.astype(np.uint8), out_ch
         if arr.dtype == np.float32:
-            if (key in WIRE_MONO_KEYS and arr.ndim >= 2
-                    and arr.strides[-1] == 0):
+            if arr.ndim >= 2 and arr.shape[-1] > 1 and arr.strides[-1] == 0:
+                out_ch = arr.shape[-1]
                 arr = arr[..., :1]
-            return _f32_to_bf16(arr)
-        return arr
+            return _f32_to_bf16(arr), out_ch
+        return arr, out_ch
 
     out = {}
-    packable = []   # (dotted path, encoded [B,H,W,C] bf16 array)
+    packable = []   # (dotted path, encoded [B,H,W,c] bf16, broadcast-to ch)
     geom = None
 
     def walk(prefix, d, dst):
@@ -69,64 +77,86 @@ def encode_wire(batch, pack: bool = True):
                 sub = dst.setdefault(k, {})
                 walk(prefix + k + ".", v, sub)
                 continue
-            e = enc(k, v)
+            e, out_ch = enc(k, v)
             if (pack and str(e.dtype) == "bfloat16" and e.ndim == 4
                     and (geom is None or e.shape[:3] == geom)):
                 geom = e.shape[:3]
-                packable.append((prefix + k, e))
+                packable.append((prefix + k, e, out_ch))
+            elif out_ch:
+                dst[f"{_MONO}{out_ch}::{k}"] = e
             else:
                 dst[k] = e
 
     walk("", batch, out)
     if len(packable) > 1:
-        spec = ",".join(f"{p}:{a.shape[-1]}" for p, a in packable)
-        out["packed::" + spec] = np.concatenate([a for _, a in packable],
-                                                axis=-1)
+        spec = ",".join(
+            f"{p}:{a.shape[-1]}>{c}" if c else f"{p}:{a.shape[-1]}"
+            for p, a, c in packable)
+        out[_PACKED + spec] = np.concatenate([a for _, a, _ in packable],
+                                             axis=-1)
     else:
-        for p, a in packable:
+        for p, a, c in packable:
             parts = p.split(".")
             d = out
             for q in parts[:-1]:
                 d = d.setdefault(q, {})
-            d[parts[-1]] = a
+            if c:
+                d[f"{_MONO}{c}::{parts[-1]}"] = a
+            else:
+                d[parts[-1]] = a
     return {k: v for k, v in out.items() if not isinstance(v, dict) or v}
 
 
 def decode_wire(batch):
     """Inverse of encode_wire, in jnp, for use INSIDE a jitted step.
 
-    All dispatch is on static dtype/shape, so for a batch that was never
-    encoded this is the identity at trace time."""
+    Only transforms the encoder explicitly marked are applied (packed
+    split specs and ``mono::N::`` key prefixes), plus static dtype
+    widening (bf16 -> f32, uint8 label -> int32); for a batch that was
+    never encoded this is the identity at trace time."""
     import jax.numpy as jnp
 
-    def dec(key, x):
-        if isinstance(x, dict):
-            return {k: dec(k, v) for k, v in x.items()}
+    def widen(key, x):
         if key == "label" and x.dtype != jnp.int32:
             return x.astype(jnp.int32)
         if x.dtype == jnp.bfloat16:
             x = x.astype(jnp.float32)
-        if (key in WIRE_MONO_KEYS and hasattr(x, "ndim") and x.ndim == 4
-                and x.shape[-1] == 1):
-            x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
         return x
+
+    def _dec_item(key, x):
+        if isinstance(x, dict):
+            return key, dict(_dec_item(k, v) for k, v in x.items())
+        if isinstance(key, str) and key.startswith(_MONO):
+            ch_s, real_key = key[len(_MONO):].split("::", 1)
+            x = widen(real_key, x)
+            return real_key, jnp.broadcast_to(x, x.shape[:-1] + (int(ch_s),))
+        return key, widen(key, x)
 
     out = {}
     packed_items = []
     for k, v in batch.items():
-        if isinstance(k, str) and k.startswith("packed::"):
+        if isinstance(k, str) and k.startswith(_PACKED):
             packed_items.append((k, v))
         else:
-            out[k] = dec(k, v)
+            k2, v2 = _dec_item(k, v)
+            out[k2] = v2
     for k, v in packed_items:
         off = 0
-        for entry in k[len("packed::"):].split(","):
+        for entry in k[len(_PACKED):].split(","):
             path, ch = entry.rsplit(":", 1)
+            out_ch = 0
+            if ">" in ch:
+                ch, out_ch_s = ch.split(">")
+                out_ch = int(out_ch_s)
             ch = int(ch)
             parts = path.split(".")
             d = out
             for q in parts[:-1]:
                 d = d.setdefault(q, {})
-            d[parts[-1]] = dec(parts[-1], v[..., off:off + ch])
+            piece = widen(parts[-1], v[..., off:off + ch])
+            if out_ch:
+                piece = jnp.broadcast_to(piece,
+                                         piece.shape[:-1] + (out_ch,))
+            d[parts[-1]] = piece
             off += ch
     return out

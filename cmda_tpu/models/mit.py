@@ -245,6 +245,13 @@ class MixVisionTransformer(nn.Module):
     # lax.scan _split_transpose: backward becomes a recompute scan plus a
     # separate transpose scan that stacks the per-block param grads
     split_transpose: bool = False
+    # fully unroll short stages (depth<=6: b5 stages 1/2/4) out of the
+    # scan loop: params stay STACKED (checkpoint/TP layout unchanged) but
+    # XLA sees straight-line blocks, so the backward's per-block grad
+    # stacking becomes concats it can schedule instead of in-loop
+    # dynamic-update-slices (the 10%-of-step DUS bucket, docs/PERF.md r2
+    # trace; perf experiment — VERDICT r4 item 6)
+    unroll_short: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -277,6 +284,7 @@ class MixVisionTransformer(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=0, length=depth,
+                unroll=depth if (self.unroll_short and depth <= 6) else 1,
                 _split_transpose=self.split_transpose,
                 metadata_params={nn.meta.PARTITION_NAME: None})
             stage_dpr = jnp.asarray(dpr[cur: cur + depth], jnp.float32)

@@ -48,6 +48,10 @@ class SegmentorConfig:
     # backward into a recompute scan + a grad-stacking transpose scan
     # (perf experiment vs the DUS bucket — docs/PERF.md)
     scan_split_transpose: bool = False
+    # fully unroll the short encoder stages (depth<=6) out of lax.scan:
+    # stacked param layout unchanged, but their backward grad-stacking
+    # becomes schedulable concats instead of in-loop DUS (docs/PERF.md)
+    scan_unroll_short: bool = False
     # batched multi-stream head decode during TRAINING (eval always
     # batches): opt-in — costs ~0.3 GB HBM, OOMs b5@batch8 on 16 GB v5e
     head_batched_train: bool = False
@@ -177,11 +181,13 @@ class FusionEncoderDecoder(nn.Module):
         self.backbone_image = MixVisionTransformer(
             mit_cfg, dtype=self.dtype, remat=self.cfg.remat,
             remat_policy=self.cfg.remat_policy,
-            split_transpose=self.cfg.scan_split_transpose)
+            split_transpose=self.cfg.scan_split_transpose,
+            unroll_short=self.cfg.scan_unroll_short)
         self.backbone_events = MixVisionTransformer(
             mit_cfg, dtype=self.dtype, remat=self.cfg.remat,
             remat_policy=self.cfg.remat_policy,
-            split_transpose=self.cfg.scan_split_transpose)
+            split_transpose=self.cfg.scan_split_transpose,
+            unroll_short=self.cfg.scan_unroll_short)
         self.fusion_module = build_fusion_module(
             self.cfg.fusion, self.dtype, remat=self.cfg.remat)
         self.fusion_isr_module = build_fusion_module(

@@ -216,6 +216,13 @@ def evaluate_fusion(trainer: DACSTrainer, state: DACSTrainState, dataset, *,
             return jnp.argmax(prob, axis=-1)
         return jnp.argmax(img_logits(image), axis=-1)
 
+    # HTTP-413 guard: weights must be jit ARGUMENTS, never closure
+    # constants (see NOTE above) — fails fast at eval construction if a
+    # refactor reintroduces a captured variables dict
+    from ..utils.guards import assert_lean_closure
+    assert_lean_closure(infer)
+    assert_lean_closure(infer_image_only)
+
     totals = [np.zeros(num_classes, np.float64) for _ in range(4)]
     n = len(dataset) if max_samples is None else min(len(dataset), max_samples)
     for start in range(0, n, batch_size):

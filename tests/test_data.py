@@ -410,7 +410,8 @@ def test_wire_codec_roundtrip():
     }
     enc = encode_wire(batch, pack=False)
     assert enc["source"]["label"].dtype == np.uint8
-    assert enc["source"]["img_self_res"].shape[-1] == 1   # mono on the wire
+    # mono on the wire, marked EXPLICITLY in the key (decode never infers)
+    assert enc["source"]["mono::3::img_self_res"].shape[-1] == 1
     assert str(enc["source"]["image"].dtype) == "bfloat16"
     dec = decode_wire({k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
                        for k, v in enc.items()})
@@ -442,3 +443,47 @@ def test_wire_codec_roundtrip():
         batch["source"]["image"])}})
     assert np.array_equal(np.asarray(dec2["source"]["image"]),
                           batch["source"]["image"])
+    # a genuinely-1-channel stream under a historical mono key name must
+    # NOT be broadcast (decode only transforms what the encoder marked)
+    one_ch = jnp.asarray(mono[..., None])
+    dec3 = decode_wire({"target": {"isr": one_ch}})
+    assert np.asarray(dec3["target"]["isr"]).shape == one_ch.shape
+
+
+def test_wire_mono_survives_collate():
+    """ADVICE r4 (medium): the real loader path runs dataset samples
+    through ``collate`` before ``encode_wire`` — the stride-0 mono
+    structure must survive batching so the wire actually ships one
+    channel (reference streams: dsec.py:368-372 isr/events,
+    cityscapes_ic.py:239-241 img_self_res/img_time_res)."""
+    import jax.numpy as jnp
+    from cmda_tpu.data.loader import collate
+    from cmda_tpu.data.wire import encode_wire, decode_wire
+    g = np.random.default_rng(1)
+    samples = []
+    for _ in range(3):
+        m = g.normal(size=(8, 8)).astype(np.float32)
+        samples.append({
+            "image": g.normal(size=(8, 8, 3)).astype(np.float32),
+            "isr": np.broadcast_to(m[..., None], m.shape + (3,)),
+            "label": g.integers(0, 19, (8, 8)).astype(np.int32),
+        })
+    batch = collate(samples)
+    assert batch["isr"].shape == (3, 8, 8, 3)
+    assert batch["isr"].strides[-1] == 0          # mono preserved
+    assert batch["image"].strides[-1] != 0        # dense stays dense
+    np.testing.assert_array_equal(batch["isr"][..., 0], batch["isr"][..., 2])
+    enc = encode_wire({"target": batch})
+    pk = [k for k in enc if str(k).startswith("packed::")]
+    assert len(pk) == 1
+    # packed tensor carries 3 (image) + 1 (mono isr) channels, not 6
+    assert enc[pk[0]].shape[-1] == 4, pk[0]
+    assert ":1>3" in pk[0]
+    dec = decode_wire({k: (jnp.asarray(v) if not isinstance(v, dict)
+                           else {kk: jnp.asarray(vv)
+                                 for kk, vv in v.items()})
+                       for k, v in enc.items()})
+    assert np.asarray(dec["target"]["isr"]).shape == (3, 8, 8, 3)
+    want = batch["isr"]
+    got = np.asarray(dec["target"]["isr"])
+    assert np.abs(got - want).max() <= 2 ** -8 * np.abs(want).max() + 1e-6

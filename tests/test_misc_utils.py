@@ -134,3 +134,44 @@ def test_analyze_trace_chrome_grouping(tmp_path):
     for name, dur in got:
         total[re.sub(r"\.\d+$", "", name)] += dur
     assert total["fusion"] == 150.0 and total["while"] == 400.0
+
+
+def test_lean_closure_guard():
+    """HTTP-413 regression guard (VERDICT r4 item 8): a jitted eval fn
+    that closes over model-weight-sized arrays must be rejected; the
+    weights-as-arguments pattern must pass (train/loop.py NOTE)."""
+    import pytest
+    from cmda_tpu.utils.guards import assert_lean_closure, FatClosureError
+
+    big = np.zeros((600, 600), np.float32)           # 1.44 MB > 1 MB limit
+    variables = {"params": {"w": big}}
+
+    def bad(image):
+        return image @ variables["params"]["w"]
+
+    with pytest.raises(FatClosureError):
+        assert_lean_closure(jax.jit(bad))
+
+    def good(variables, image):
+        return image @ variables["params"]["w"]
+
+    assert_lean_closure(jax.jit(good))               # no raise
+
+    # nested capture (a jitted wrapper closing over a helper that closes
+    # over the weights) is caught too
+    def helper(x):
+        return x @ big
+
+    def bad_nested(image):
+        return helper(image)
+
+    with pytest.raises(FatClosureError):
+        assert_lean_closure(bad_nested)
+
+    # small captures (thresholds, class tables) stay allowed
+    table = np.arange(19, dtype=np.int32)
+
+    def fine(image):
+        return image[..., table]
+
+    assert_lean_closure(fine)

@@ -155,6 +155,9 @@ def main():
                                      mode="default", output=args.output_type)
         return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
+    from cmda_tpu.utils.guards import assert_lean_closure
+    assert_lean_closure(infer_v)   # HTTP-413 guard (train/loop.py NOTE)
+
     variables = jax.device_put(variables)
     if args.transfer_dtype == "bfloat16":
         from ml_dtypes import bfloat16 as wire_dtype

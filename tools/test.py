@@ -200,6 +200,9 @@ def export_submission(trainer, state, dataset, args, cfg, batch_size=4):
                                  mode="no_fusion", output="image")
         return jnp.argmax(logits, axis=-1)
 
+    from cmda_tpu.utils.guards import assert_lean_closure
+    assert_lean_closure(infer)   # HTTP-413 guard (train/loop.py NOTE)
+
     n = len(dataset) if args.max_samples is None else min(len(dataset),
                                                           args.max_samples)
     for start in range(0, n, batch_size):
