@@ -110,6 +110,11 @@ class DSECDataset:
         if self.rows.ndim == 1 and self.rows.size:
             self.rows = self.rows[None]
         self._h5_cache = {}
+        import threading
+        # one lock per dataset instance: serializes libhdf5 calls on the
+        # shared File handles across loader worker threads (a transient
+        # H5Dread_chunk RuntimeError killed a 10k-iter r5 run otherwise)
+        self._h5_lock = threading.Lock()
         # immutable side tables, re-read per draw otherwise: the per-sequence
         # events-index txt (np.loadtxt of thousands of str rows) and the
         # rectify map (full-array h5 decompress) — memoized unconditionally
@@ -125,9 +130,10 @@ class DSECDataset:
     def _open_h5(self, path):
         if h5py is None:
             raise RuntimeError("h5py unavailable — use the C++ ingest")
-        if path not in self._h5_cache:
-            self._h5_cache[path] = h5py.File(path, "r")
-        return self._h5_cache[path]
+        with self._h5_lock:
+            if path not in self._h5_cache:
+                self._h5_cache[path] = h5py.File(path, "r")
+            return self._h5_cache[path]
 
     def _splat_grid(self, image_path, finish, start):
         """UN-normalized full-res voxel grid [bins,H,W] — deterministic given
@@ -136,10 +142,12 @@ class DSECDataset:
         ev_path = image_path.replace("images", "events")[:-20] + "events.h5"
         h5 = self._open_h5(ev_path)
         from .native_h5 import read_slice
-        t = read_slice(h5["events/t"], start, finish + 1)
-        x = read_slice(h5["events/x"], start, finish + 1)
-        y = read_slice(h5["events/y"], start, finish + 1)
-        p = read_slice(h5["events/p"], start, finish + 1).astype(np.float32)
+        lk = self._h5_lock
+        t = read_slice(h5["events/t"], start, finish + 1, lock=lk)
+        x = read_slice(h5["events/x"], start, finish + 1, lock=lk)
+        y = read_slice(h5["events/y"], start, finish + 1, lock=lk)
+        p = read_slice(h5["events/p"], start, finish + 1,
+                       lock=lk).astype(np.float32)
         t = (t - t[0]).astype(np.float32)
         if t[-1] > 0:
             t = t / t[-1]

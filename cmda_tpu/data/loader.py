@@ -83,13 +83,21 @@ class PrefetchLoader:
         fetch = getattr(self.dataset, "load", None)
         while not self._stop.is_set():
             idxs = [rng.randrange(n) for _ in range(self.batch_size)]
-            try:
-                if fetch is not None:
-                    batch = collate([fetch(i, rng=rng) for i in idxs])
-                else:
-                    batch = collate([self.dataset[i] for i in idxs])
-            except Exception as e:  # surface loader errors to the consumer
-                batch = e
+            # transient sample failures (e.g. an HDF5 read hiccup under
+            # thread contention) must not kill a 10k-iter run: retry the
+            # batch a few times (fresh random draws) before surfacing
+            for attempt in range(3):
+                try:
+                    if fetch is not None:
+                        batch = collate([fetch(i, rng=rng) for i in idxs])
+                    else:
+                        batch = collate([self.dataset[i] for i in idxs])
+                    break
+                except Exception as e:  # surface persistent errors
+                    batch = e
+                    idxs = [rng.randrange(n) for _ in range(self.batch_size)]
+                    import time as _time
+                    _time.sleep(0.2 * (attempt + 1))
             while not self._stop.is_set():
                 try:
                     out.put(batch, timeout=0.5)
