@@ -175,3 +175,31 @@ def test_lean_closure_guard():
         return image[..., table]
 
     assert_lean_closure(fine)
+
+
+def test_train_chunked_helpers(tmp_path):
+    """Segment launcher (leak workaround, r5): checkpoint discovery picks
+    the highest iter_N; the watchdog kills a child that stops advancing
+    the log and reports rc 99."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import train_chunked as tc
+
+    wd = tmp_path / "wd"
+    wd.mkdir()
+    assert tc.latest_checkpoint(str(wd)) == (None, 0)
+    (wd / "iter_2000").mkdir()
+    (wd / "iter_500").mkdir()
+    (wd / "not_a_ckpt").mkdir()
+    path, it = tc.latest_checkpoint(str(wd))
+    assert it == 2000 and path.endswith("iter_2000")
+
+    # watchdog: a sleeping child that never writes the log gets killed
+    rc = tc.run_segment([sys.executable, "-c", "import time; time.sleep(600)"],
+                        str(wd), stall_timeout=1.0)
+    assert rc == 99
+    # a child that exits cleanly passes its rc through
+    rc = tc.run_segment([sys.executable, "-c", "raise SystemExit(0)"],
+                        str(wd), stall_timeout=30.0)
+    assert rc == 0

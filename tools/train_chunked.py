@@ -41,16 +41,63 @@ def latest_checkpoint(work_dir: str):
     return best, best_it
 
 
+def _newest_log_mtime(work_dir: str) -> float:
+    newest = 0.0
+    if os.path.isdir(work_dir):
+        for name in os.listdir(work_dir):
+            if name.endswith(".log.json"):
+                try:
+                    newest = max(newest, os.path.getmtime(
+                        os.path.join(work_dir, name)))
+                except OSError:
+                    pass
+    return newest
+
+
+def run_segment(cmd, work_dir: str, stall_timeout: float) -> int:
+    """Run one segment with a progress watchdog: if the JSONL log stops
+    advancing for ``stall_timeout`` seconds the child is killed (rc 99).
+    Observed failure mode (r5): the tunnel client occasionally never
+    receives a response — every thread futex-parks and the run wedges
+    silently. The timeout must comfortably exceed a cold compile +
+    first-eval window (no log writes then)."""
+    import time
+    proc = subprocess.Popen(cmd)
+    started = time.time()
+    last_mtime = _newest_log_mtime(work_dir)
+    last_change = started
+    poll_s = min(30.0, max(stall_timeout / 4, 0.25))
+    while True:
+        try:
+            return proc.wait(timeout=poll_s)
+        except subprocess.TimeoutExpired:
+            pass
+        m = _newest_log_mtime(work_dir)
+        if m > last_mtime:
+            last_mtime, last_change = m, time.time()
+        elif time.time() - last_change > stall_timeout:
+            if proc.poll() is not None:     # exited during the check
+                return proc.poll()
+            print(f"[chunked] no log progress for {stall_timeout:.0f}s — "
+                  "killing wedged segment", flush=True)
+            proc.kill()
+            proc.wait()
+            return 99
+
+
 def main():
     ap = argparse.ArgumentParser(add_help=False)
     ap.add_argument("--segment-iters", type=int, default=2000)
     ap.add_argument("--max-iters", type=int, required=True)
     ap.add_argument("--work-dir", required=True)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--stall-timeout", type=float, default=1500.0)
+    ap.add_argument("--max-stuck-retries", type=int, default=4)
     args, passthrough = ap.parse_known_args()
 
     train_py = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "train.py")
+    stuck = 0
     while True:
         ckpt, start = latest_checkpoint(args.work_dir)
         if start >= args.max_iters:
@@ -66,14 +113,18 @@ def main():
             cmd += ["--resume-from", ckpt]
         print(f"[chunked] segment {start}->{seg_end} "
               f"(seed {args.seed + seg_idx}, resume={ckpt})", flush=True)
-        rc = subprocess.call(cmd)
+        rc = run_segment(cmd, args.work_dir, args.stall_timeout)
         if rc != 0:
             print(f"[chunked] segment exited rc={rc}", flush=True)
-            # one retry per boundary is inherent: if the segment saved its
-            # checkpoint before dying, the loop resumes past it; if not,
-            # a genuine config error would loop forever — bail
             ckpt2, start2 = latest_checkpoint(args.work_dir)
-            if start2 <= start:
+            if start2 > start:
+                stuck = 0          # made checkpoint progress — keep going
+                continue
+            stuck += 1
+            # no checkpoint progress: transient infra wedges deserve a few
+            # retries (the segment replays from the last checkpoint); a
+            # genuine config error must not loop forever
+            if stuck > args.max_stuck_retries:
                 return rc
 
 
