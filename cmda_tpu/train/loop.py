@@ -449,6 +449,12 @@ class TrainLoop:
                     self.log({"iter": it + 1, "eval": summary})
                     scored = f"{eval_dir}_{summary['mIoU'] * 100:.2f}"
                     if os.path.isdir(eval_dir):
+                        # idempotent under segment replay (train_chunked
+                        # resume re-runs an eval iter): a scored dir from
+                        # the previous attempt is superseded, not fatal
+                        if os.path.isdir(scored):
+                            import shutil
+                            shutil.rmtree(scored, ignore_errors=True)
                         os.rename(eval_dir, scored)
                     else:
                         os.makedirs(scored, exist_ok=True)

@@ -126,6 +126,13 @@ def main():
             # genuine config error must not loop forever
             if stuck > args.max_stuck_retries:
                 return rc
+            # give the remote TPU runtime time to reap the killed
+            # session before reconnecting — an immediate retry was
+            # observed to wedge again on the orphaned chip (r5)
+            import time
+            print(f"[chunked] backing off 120 s before retry {stuck}",
+                  flush=True)
+            time.sleep(120)
 
 
 if __name__ == "__main__":
