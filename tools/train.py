@@ -458,6 +458,15 @@ def main():
     args = parse_args()
     from cmda_tpu.utils.profiling import enable_compile_cache
     enable_compile_cache()
+    if args.max_iters and args.max_iters > 4000 and args.resume_from is None:
+        # the axon tunnel client leaks ~20-25 MB of host memory per step
+        # (h2d staging buffers, docs/ROUND5.md) — a >5k-iter single
+        # process OOMs the host. Warn loudly; tools/train_chunked.py
+        # wraps this CLI with segment-restart over checkpoints.
+        print(json.dumps({"warning": "long single-process run: the axon "
+                          "tunnel leaks host memory per step; use "
+                          "tools/train_chunked.py for >4k iters "
+                          "(docs/ROUND5.md)"}), flush=True)
     if args.fused_resize:
         from cmda_tpu.ops.resize import set_fused_int_upsample
         set_fused_int_upsample(True)
